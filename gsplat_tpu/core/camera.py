@@ -1,0 +1,195 @@
+"""Render-ready camera: a JAX pytree with precomputed view/projection matrices.
+
+Reference: src/scene/camera.cpp:20-72 — world_view_transform = W2V(R,T,trans,scale)^T,
+projection_matrix = P(znear=0.01, zfar=100, fovx, fovy)^T, full_proj = view @ proj
+(row-vector convention throughout, as upstream), camera_center = inv(view)[3,:3].
+Also implements the resolution scaling of upstream camera_utils.loadCam, which the
+reference stubs out (src/utils/camera_utils.cpp:3).
+
+Registered as a pytree so cameras can be passed through jit/vmap/shard_map; width,
+height (static shapes) ride in aux_data.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsplat_tpu.core.transforms import get_projection_matrix, get_world2view_2
+from gsplat_tpu.io.dataset import CameraInfo
+
+ZNEAR = 0.01
+ZFAR = 100.0
+WARNED = [False]
+
+
+@dataclass
+class Camera:
+    # dynamic leaves (f32 arrays)
+    world_view: jnp.ndarray    # (4,4), transposed (row-vector) world->view
+    full_proj: jnp.ndarray     # (4,4), transposed world->clip
+    cam_center: jnp.ndarray    # (3,)
+    tan_fovx: jnp.ndarray      # () tangent of half fov
+    tan_fovy: jnp.ndarray      # ()
+    image: Optional[jnp.ndarray]  # (H,W,3) ground truth in [0,1], or None
+    # static aux
+    width: int = 0
+    height: int = 0
+    image_name: str = ""
+    uid: int = 0
+
+    @property
+    def focal_x(self):
+        return self.width / (2.0 * self.tan_fovx)
+
+    @property
+    def focal_y(self):
+        return self.height / (2.0 * self.tan_fovy)
+
+
+def _camera_flatten(c: Camera):
+    children = (c.world_view, c.full_proj, c.cam_center, c.tan_fovx, c.tan_fovy, c.image)
+    aux = (c.width, c.height, c.image_name, c.uid)
+    return children, aux
+
+
+def _camera_unflatten(aux, children):
+    return Camera(*children, *aux)
+
+
+jax.tree_util.register_pytree_node(Camera, _camera_flatten, _camera_unflatten)
+
+
+def make_camera(
+    R: np.ndarray,
+    T: np.ndarray,
+    fovx: float,
+    fovy: float,
+    width: int,
+    height: int,
+    image: Optional[np.ndarray] = None,
+    trans: np.ndarray = np.zeros(3),
+    scale: float = 1.0,
+    image_name: str = "",
+    uid: int = 0,
+) -> Camera:
+    """Build the precomputed-matrix camera (reference src/scene/camera.cpp:20-72)."""
+    world_view = get_world2view_2(R, T, trans, scale).T
+    proj = get_projection_matrix(ZNEAR, ZFAR, fovx, fovy).T
+    full_proj = world_view @ proj
+    cam_center = np.linalg.inv(world_view)[3, :3]
+    if image is not None:
+        image = jnp.asarray(np.clip(image, 0.0, 1.0), jnp.float32)
+    return Camera(
+        world_view=jnp.asarray(world_view, jnp.float32),
+        full_proj=jnp.asarray(full_proj, jnp.float32),
+        cam_center=jnp.asarray(cam_center, jnp.float32),
+        tan_fovx=jnp.asarray(math.tan(fovx * 0.5), jnp.float32),
+        tan_fovy=jnp.asarray(math.tan(fovy * 0.5), jnp.float32),
+        image=image,
+        width=width,
+        height=height,
+        image_name=image_name,
+        uid=uid,
+    )
+
+
+def _scaled_resolution(info: CameraInfo, resolution: int, resolution_scale: float = 1.0
+                       ) -> Tuple[int, int]:
+    """Upstream camera_utils.loadCam resolution policy: -1 caps width at 1600px;
+    positive values divide."""
+    if resolution in (1, 2, 4, 8):
+        down = resolution_scale * resolution
+    elif resolution == -1:
+        if info.width > 1600:
+            if not WARNED[0]:
+                print(
+                    "[ INFO ] Encountered quite large input images (>1.6K pixels "
+                    "width), rescaling to 1.6K.\n If this is not desired, please "
+                    "explicitly specify '--resolution/-r' as 1"
+                )
+                WARNED[0] = True
+            down = resolution_scale * (info.width / 1600)
+        else:
+            down = resolution_scale
+    else:
+        down = resolution_scale * (info.width / resolution)
+    return round(info.width / down), round(info.height / down)
+
+
+def _resize_image(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    if img.shape[1] == width and img.shape[0] == height:
+        return img
+    from PIL import Image as PILImage
+
+    pil = PILImage.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    return np.asarray(pil.resize((width, height), PILImage.LANCZOS), np.float32) / 255.0
+
+
+def load_camera(
+    info: CameraInfo,
+    resolution: int = -1,
+    resolution_scale: float = 1.0,
+    trans: np.ndarray = np.zeros(3),
+    scale: float = 1.0,
+    pad_to: Optional[Tuple[int, int]] = None,
+    white_background: bool = False,
+) -> Camera:
+    """CameraInfo -> Camera with image decode/rescale (upstream loadCam; the
+    reference's load_camera is a no-op stub, src/utils/camera_utils.cpp:3).
+
+    pad_to: optionally pad H,W up to a static shape (for batching under jit);
+    padding is recorded implicitly — rendering crops to (height,width).
+    """
+    width, height = _scaled_resolution(info, resolution, resolution_scale)
+    img = info.load_image()
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    if img.shape[-1] == 4:
+        bg = 1.0 if white_background else 0.0
+        img = img[..., :3] * img[..., 3:4] + bg * (1 - img[..., 3:4])
+    img = _resize_image(img, width, height)
+    if pad_to is not None:
+        ph, pw = pad_to
+        img = np.pad(img, ((0, ph - height), (0, pw - width), (0, 0)))
+    return make_camera(
+        info.R,
+        info.T,
+        info.fovx,
+        info.fovy,
+        width,
+        height,
+        image=img,
+        trans=trans,
+        scale=scale,
+        image_name=info.image_name,
+        uid=info.uid,
+    )
+
+
+def camera_to_json(idx: int, info: CameraInfo) -> dict:
+    """Upstream camera_to_JSON for `cameras.json` (viewer interop)."""
+    Rt = np.zeros((4, 4))
+    Rt[:3, :3] = info.R.T
+    Rt[:3, 3] = info.T
+    Rt[3, 3] = 1.0
+    c2w = np.linalg.inv(Rt)
+    pos = c2w[:3, 3]
+    rot = c2w[:3, :3]
+    from gsplat_tpu.core.transforms import fov2focal
+
+    return {
+        "id": idx,
+        "img_name": info.image_name,
+        "width": info.width,
+        "height": info.height,
+        "position": pos.tolist(),
+        "rotation": [r.tolist() for r in rot],
+        "fy": fov2focal(info.fovy, info.height),
+        "fx": fov2focal(info.fovx, info.width),
+    }

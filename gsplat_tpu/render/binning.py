@@ -1,0 +1,140 @@
+"""Tile binning: (Gaussian, tile) pair expansion + depth sort, in static shapes.
+
+TPU-native replacement for the CUDA duplicate+radix-sort stage of upstream 3DGS
+(absent in the reference; SURVEY.md §7 hard part 2). Design:
+
+1. Per-Gaussian tile rectangles -> per-Gaussian pair counts (0 when culled).
+2. Pair expansion WITHOUT scatter: pair slot p finds its Gaussian with a single
+   vectorized `searchsorted` over the inclusive count cumsum; its tile from the
+   rectangle arithmetic. Static `pair_budget` slots; overflow pairs are dropped
+   (the live total is returned so the driver can grow the budget and recompile).
+3. One stable multi-key `lax.sort` by (tile_id, depth) - XLA's native sort rides
+   the VPU; ties resolve to Gaussian index order (stable).
+4. Chunk-aligned padded layout: every tile's segment is padded up to a multiple of
+   `chunk` and scattered into a `padded_budget`-sized index array whose default
+   entry is the null Gaussian (capacity row, inert by construction). This makes the
+   Pallas kernel grid a dense 1-D sweep of (chunk, tile) blocks with *static* block
+   maps - no atomics, no dynamic shapes (SURVEY.md §7 M2).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Binning(NamedTuple):
+    padded_gid: jnp.ndarray   # (padded_budget,) int32 Gaussian index; N_null when empty
+    chunk_tile: jnp.ndarray   # (num_chunks,) int32 tile id per kernel grid step
+    tile_count: jnp.ndarray   # (num_tiles,) int32 live pairs per tile
+    n_pairs: jnp.ndarray      # () int32 total live pairs (for budget monitoring)
+    n_dropped: jnp.ndarray    # () int32 pairs dropped by budget overflow
+
+
+def tile_grid(width: int, height: int, tile_size: int) -> Tuple[int, int]:
+    tw = -(-width // tile_size)
+    th = -(-height // tile_size)
+    return tw, th
+
+
+def tile_rects(
+    mean2d: jnp.ndarray, radius: jnp.ndarray, tw: int, th: int, tile_size: int
+):
+    """Upstream getRect semantics: clamped [min, max) tile rectangle per Gaussian."""
+    mx, my = mean2d[:, 0], mean2d[:, 1]
+    x0 = jnp.clip(((mx - radius) / tile_size).astype(jnp.int32), 0, tw)
+    y0 = jnp.clip(((my - radius) / tile_size).astype(jnp.int32), 0, th)
+    x1 = jnp.clip(((mx + radius + tile_size - 1) // tile_size).astype(jnp.int32), 0, tw)
+    y1 = jnp.clip(((my + radius + tile_size - 1) // tile_size).astype(jnp.int32), 0, th)
+    return x0, y0, x1, y1
+
+
+def bin_gaussians(
+    mean2d: jnp.ndarray,
+    radius: jnp.ndarray,
+    depth: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    tile_size: int,
+    chunk: int,
+    pair_budget: int,
+) -> Binning:
+    """Build the sorted, chunk-aligned (Gaussian, tile) pair layout.
+
+    All inputs should be stop-gradient'ed by the caller (binning is integer-valued;
+    gradients flow through the later gather instead).
+    """
+    n = mean2d.shape[0]
+    tw, th = tile_grid(width, height, tile_size)
+    num_tiles = tw * th
+    padded_budget = _padded_budget(pair_budget, num_tiles, chunk)
+    num_chunks = padded_budget // chunk
+
+    x0, y0, x1, y1 = tile_rects(mean2d, radius, tw, th, tile_size)
+    rect_w = jnp.maximum(x1 - x0, 0)
+    rect_h = jnp.maximum(y1 - y0, 0)
+    counts = jnp.where(radius > 0, rect_w * rect_h, 0).astype(jnp.int32)
+
+    cum = jnp.cumsum(counts)                      # inclusive
+    total = cum[-1]
+    offsets = cum - counts                        # exclusive
+    n_dropped = jnp.maximum(total - pair_budget, 0)
+
+    p = jnp.arange(pair_budget, dtype=jnp.int32)
+    gid = jnp.searchsorted(cum, p, side="right").astype(jnp.int32)
+    gid_c = jnp.minimum(gid, n - 1)
+    local = p - offsets[gid_c]
+    w_safe = jnp.maximum(rect_w[gid_c], 1)
+    tx = x0[gid_c] + local % w_safe
+    ty = y0[gid_c] + local // w_safe
+    tile = ty * tw + tx
+    valid = p < total
+    tile = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
+    pair_depth = jnp.where(valid, depth[gid_c], jnp.inf).astype(jnp.float32)
+    pair_gid = jnp.where(valid, gid_c, n).astype(jnp.int32)
+
+    tile_s, _, gid_s = jax.lax.sort(
+        (tile, pair_depth, pair_gid), num_keys=2, is_stable=True
+    )
+
+    # per-tile segment boundaries on the sorted array
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(tile_s, tids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(tile_s, tids, side="right").astype(jnp.int32)
+    tile_count = ends - starts
+    padded_count = -(-tile_count // chunk) * chunk
+    padded_cum = jnp.cumsum(padded_count)
+    padded_start = padded_cum - padded_count
+
+    in_tile = tile_s < num_tiles
+    tile_sc = jnp.minimum(tile_s, num_tiles - 1)
+    rank = jnp.arange(pair_budget, dtype=jnp.int32) - starts[tile_sc]
+    dest = jnp.where(in_tile, padded_start[tile_sc] + rank, padded_budget)
+    padded_gid = jnp.full((padded_budget,), n, jnp.int32)
+    padded_gid = padded_gid.at[dest].set(gid_s, mode="drop")
+
+    # chunk -> tile map: non-decreasing; trailing unused chunks clamp to the last
+    # occupied tile (they only add inert null pairs there)
+    chunk_starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
+    chunk_tile = jnp.searchsorted(padded_cum, chunk_starts, side="right").astype(jnp.int32)
+    last_occupied = jnp.maximum(
+        jnp.searchsorted(padded_cum, jnp.maximum(padded_cum[-1], 1) - 1, side="right"), 0
+    ).astype(jnp.int32)
+    chunk_tile = jnp.minimum(chunk_tile, jnp.minimum(last_occupied, num_tiles - 1))
+
+    return Binning(
+        padded_gid=padded_gid,
+        chunk_tile=chunk_tile,
+        tile_count=tile_count,
+        n_pairs=jnp.minimum(total, pair_budget),
+        n_dropped=n_dropped,
+    )
+
+
+def _padded_budget(pair_budget: int, num_tiles: int, chunk: int) -> int:
+    """Static worst case: every tile wastes up to chunk-1 slots on alignment."""
+    raw = pair_budget + num_tiles * (chunk - 1)
+    return -(-raw // chunk) * chunk
