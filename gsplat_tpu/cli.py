@@ -1,0 +1,43 @@
+"""CLI entry point.
+
+Reference: src/train.cpp:12-47 — parse args, print the four parameter groups,
+append the final iteration to save_iterations, seed the RNG, enable anomaly
+detection behind --detect_anomaly, call train(). Run as:
+
+    python -m gsplat_tpu.cli --source_path <scene> --model_path <out> [--eval ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+import jax
+
+from gsplat_tpu.config import parse_parameters, print_params
+from gsplat_tpu.train.loop import initialize_random_seed, train
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    model, opt, pipe, other, mesh = parse_parameters(argv)
+
+    for p in (model, opt, pipe, other, mesh):
+        print_params(p, out=sys.stdout)
+
+    # reference src/train.cpp:30 — always save the final iteration
+    if opt.iterations not in other.save_iterations:
+        other.save_iterations.append(opt.iterations)
+
+    initialize_random_seed(0)
+
+    # reference src/train.cpp:39 — autograd anomaly mode -> NaN debugging in JAX
+    if other.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
+
+    train(model, opt, pipe, other, mesh)
+    print("Training complete.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -62,6 +62,18 @@ def _pixel_coords(ct, tw: int, tile_size: int, npix: int):
     return px, py
 
 
+def _cumsum0(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum along axis 0 as a lower-triangular matmul — Mosaic has no
+    cumsum lowering, and an (C,C)x(C,P) triangular matmul rides the MXU anyway."""
+    c = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    tri = (row >= col).astype(x.dtype)
+    return jax.lax.dot_general(
+        tri, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
 def _chunk_alphas(attrs, px, py):
     """Shared fwd/bwd math: per-(pair,pixel) alpha with upstream masking.
 
@@ -103,14 +115,14 @@ def _fwd_kernel(ct_ref, attrs_ref, out_ref, *, tw: int, tile_size: int):
         px, py = _pixel_coords(ct, tw, tile_size, npix)
         alpha, _, _, _, _ = _chunk_alphas(attrs, px, py)
         lg = jnp.log1p(-alpha)
-        cum = jnp.cumsum(lg, axis=0)
+        cum = _cumsum0(lg)
         t_exc = jnp.exp(cum - lg)  # exclusive in-chunk transmittance
         w = alpha * t_exc * T[None, :]
         rgb = attrs[:, 5:8]
         out_ref[0, :3, :] = out_ref[0, :3, :] + jax.lax.dot_general(
             rgb, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        out_ref[0, 3, :] = T * jnp.exp(cum[-1, :])
+        out_ref[0, 3, :] = T * jnp.exp(jnp.sum(lg, axis=0))
 
 
 def _bwd_kernel(
@@ -142,7 +154,7 @@ def _bwd_kernel(
         op = attrs[:, 8:9]
 
         lg = jnp.log1p(-alpha)
-        cum = jnp.cumsum(lg, axis=0)
+        cum = _cumsum0(lg)
         t_exc = jnp.exp(cum - lg)
         t_i = t_exc * t_run[None, :]
         w = alpha * t_i
@@ -157,7 +169,7 @@ def _bwd_kernel(
             rgb, g_rgb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # (chunk, npix)
         wcg = w * cg
-        prefix = jnp.cumsum(wcg, axis=0) + carry_ref[1, :][None, :]
+        prefix = _cumsum0(wcg) + carry_ref[1, :][None, :]
         denom = 1.0 - alpha
         dalpha = t_i * cg - (
             total_cg[None, :] - prefix + (t_final * g_t)[None, :]
@@ -180,8 +192,8 @@ def _bwd_kernel(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_rgb, d_op, zeros], axis=1
         )
 
-        carry_ref[1, :] = prefix[-1, :]
-        carry_ref[0, :] = t_run * jnp.exp(cum[-1, :])
+        carry_ref[1, :] = prefix[attrs.shape[0] - 1, :]
+        carry_ref[0, :] = t_run * jnp.exp(jnp.sum(lg, axis=0))
 
 
 def _fwd_call(attrs, chunk_tile, *, num_tiles, tw, tile_size, chunk, interpret):

@@ -1,0 +1,175 @@
+"""Scene: dataset + camera ownership + model-path bookkeeping.
+
+Reference: src/scene/scene.{h,cpp} — owns the GaussianModel and per-resolution-scale
+train/test camera maps, detects the source type (COLMAP 'sparse' dir vs
+transforms_train.json), and discovers the load iteration by directory scan
+(src/scene/scene.cpp:10-68; largely stubbed there — camera maps never populated,
+SURVEY.md §2 'Scene' row). This completes it with upstream Scene semantics:
+shuffle, resolution scales, cameras.json export, point-cloud init.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import re
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from gsplat_tpu.config import ModelParams
+from gsplat_tpu.core.camera import Camera, camera_to_json, load_camera
+from gsplat_tpu.core.gaussians import Gaussians, create_from_pcd
+from gsplat_tpu.io.dataset import (
+    SceneInfo,
+    detect_scene_type,
+    read_blender_scene_info,
+    read_colmap_scene_info,
+)
+from gsplat_tpu.io.ply import load_gaussian_ply
+
+
+def search_for_max_iteration(folder: str | Path) -> Optional[int]:
+    """Max <name>_<iter> suffix in a checkpoint dir (reference
+    src/utils/system_utils.cpp:7-31)."""
+    folder = Path(folder)
+    if not folder.exists():
+        return None
+    best = None
+    for p in folder.iterdir():
+        m = re.search(r"_(\d+)$", p.name)
+        if m:
+            it = int(m.group(1))
+            best = it if best is None else max(best, it)
+    return best
+
+
+class Scene:
+    """Reference Scene (src/scene/scene.h:9-29), completed per upstream."""
+
+    def __init__(
+        self,
+        model: ModelParams,
+        capacity: int = 1 << 17,
+        load_iteration: Optional[int] = None,
+        shuffle: bool = True,
+        resolution_scales: List[float] = [1.0],
+        seed: int = 0,
+    ):
+        self.model_path = model.model_path
+        self.loaded_iter: Optional[int] = None
+
+        if load_iteration is not None:
+            if load_iteration == -1:
+                self.loaded_iter = search_for_max_iteration(
+                    Path(self.model_path) / "point_cloud"
+                )
+            else:
+                self.loaded_iter = load_iteration
+            print(f"Loading trained model at iteration {self.loaded_iter}")
+
+        scene_type = detect_scene_type(model.source_path)
+        if scene_type == "colmap":
+            info: SceneInfo = read_colmap_scene_info(
+                model.source_path, images=model.images, eval_split=model.eval
+            )
+        else:
+            info = read_blender_scene_info(
+                model.source_path,
+                white_background=model.white_background,
+                eval_split=model.eval,
+            )
+        self.scene_info = info
+
+        if not self.loaded_iter and self.model_path:
+            out = Path(self.model_path)
+            out.mkdir(parents=True, exist_ok=True)
+            # viewer interop artifacts (upstream Scene.__init__)
+            (out / "input.ply").write_bytes(Path(info.ply_path).read_bytes())
+            cams = info.train_cameras + info.test_cameras
+            with open(out / "cameras.json", "w") as f:
+                json.dump([camera_to_json(i, c) for i, c in enumerate(cams)], f)
+
+        if shuffle:
+            rng = random.Random(seed)
+            rng.shuffle(info.train_cameras)
+            rng.shuffle(info.test_cameras)
+
+        self.cameras_extent = float(info.nerf_normalization["radius"])
+        self.train_cameras: Dict[float, List[Camera]] = {}
+        self.test_cameras: Dict[float, List[Camera]] = {}
+        for scale in resolution_scales:
+            self.train_cameras[scale] = [
+                load_camera(c, model.resolution, scale,
+                            white_background=model.white_background)
+                for c in info.train_cameras
+            ]
+            self.test_cameras[scale] = [
+                load_camera(c, model.resolution, scale,
+                            white_background=model.white_background)
+                for c in info.test_cameras
+            ]
+
+        if self.loaded_iter:
+            ply = (
+                Path(self.model_path)
+                / "point_cloud"
+                / f"iteration_{self.loaded_iter}"
+                / "point_cloud.ply"
+            )
+            raw = load_gaussian_ply(ply)
+            self.gaussians = gaussians_from_raw(
+                raw, capacity=capacity, sh_degree=model.sh_degree,
+                spatial_lr_scale=self.cameras_extent,
+            )
+        else:
+            self.gaussians = create_from_pcd(
+                info.point_cloud.points,
+                info.point_cloud.colors,
+                capacity=max(capacity, _next_pow2(len(info.point_cloud.points))),
+                max_sh_degree=model.sh_degree,
+                spatial_lr_scale=self.cameras_extent,
+            )
+
+    def get_train_cameras(self, scale: float = 1.0) -> List[Camera]:
+        return self.train_cameras[scale]
+
+    def get_test_cameras(self, scale: float = 1.0) -> List[Camera]:
+        return self.test_cameras[scale]
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def gaussians_from_raw(
+    raw: dict, capacity: int, sh_degree: int, spatial_lr_scale: float
+) -> Gaussians:
+    """Rebuild a padded Gaussians pytree from raw (PLY/checkpoint) arrays; loaded
+    models start at full SH degree (upstream load_ply semantics)."""
+    import jax.numpy as jnp
+
+    from gsplat_tpu.core.gaussians import _pad_rows
+
+    n = len(raw["xyz"])
+    cap = max(capacity, _next_pow2(n))
+    pad = _pad_rows(cap)
+    return Gaussians(
+        xyz=pad("xyz", jnp.asarray(raw["xyz"], jnp.float32)),
+        f_dc=pad("f_dc", jnp.asarray(raw["features_dc"], jnp.float32)),
+        f_rest=pad("f_rest", jnp.asarray(raw["features_rest"], jnp.float32)),
+        opacity=pad("opacity", jnp.asarray(raw["opacity"], jnp.float32)),
+        scaling=pad("scaling", jnp.asarray(raw["scaling"], jnp.float32)),
+        rotation=pad("rotation", jnp.asarray(raw["rotation"], jnp.float32)),
+        max_radii2D=jnp.zeros(cap, jnp.float32),
+        xyz_gradient_accum=jnp.zeros(cap, jnp.float32),
+        denom=jnp.zeros(cap, jnp.float32),
+        n_live=jnp.asarray(n, jnp.int32),
+        active_sh_degree=sh_degree,
+        max_sh_degree=sh_degree,
+        spatial_lr_scale=float(spatial_lr_scale),
+    )

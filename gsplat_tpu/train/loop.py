@@ -1,0 +1,307 @@
+"""Training driver: the complete train() the reference only sketches.
+
+Reference: src/utils/train_utils.cpp:97-146 — prepare output dirs + cfg_args, build
+model+scene, setup optimizers, then a loop that only updates the LR and bumps the SH
+degree; the render/loss/backward/step/densify body is absent (SURVEY.md §2 'Train
+driver'). This implements the full upstream 3DGS loop, TPU-first:
+
+- ONE jitted train_step: render -> L1+D-SSIM loss -> grads (autodiff through the
+  projection + the Pallas rasterizer's custom VJP) -> per-group Adam (LR schedule
+  evaluated from the traced step, no host roundtrip) -> densification stats.
+- densify/prune/reset-opacity are separate jitted ops invoked at the upstream
+  intervals; capacity growth is the only host-side (recompiling) event.
+- EMA loss logging, test-iteration PSNR eval, save/checkpoint iterations — the
+  observability the reference's Printer/`cfg_args` scaffolding anticipates.
+"""
+
+from __future__ import annotations
+
+import functools
+import random
+import sys
+import time
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsplat_tpu.ckpt import load_checkpoint, save_checkpoint, save_ply
+from gsplat_tpu.config import (
+    MeshParams,
+    ModelParams,
+    OptimizationParams,
+    OtherParams,
+    PipelineParams,
+    cfg_args_string,
+    print_params,
+)
+from gsplat_tpu.core.camera import Camera
+from gsplat_tpu.core.gaussians import Gaussians, grow_capacity
+from gsplat_tpu.render.render import render
+from gsplat_tpu.scene import Scene
+from gsplat_tpu.train.densify import (
+    add_densification_stats,
+    densify_and_prune,
+    reset_opacity,
+)
+from gsplat_tpu.train.loss import photometric_loss, psnr
+from gsplat_tpu.train.optim import (
+    AdamState,
+    adam_update,
+    current_lrs,
+    init_adam_state,
+    make_lr_fns,
+)
+
+
+class Printer:
+    """Timestamped logger (reference src/utils/train_utils.cpp:13-32, with the
+    quiet logic un-inverted per SURVEY.md §2.1)."""
+
+    def __init__(self, quiet: bool = False):
+        self.quiet = quiet
+
+    def print(self, msg: str) -> None:
+        if not self.quiet:
+            ts = time.strftime("%Y-%m-%d %H:%M:%S")
+            print(f"[{ts}] {msg}", flush=True)
+
+
+def initialize_random_seed(seed: int = 0) -> None:
+    """Reference src/utils/train_utils.cpp:34-48 (srand + manual_seed 0)."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def prepare_output_and_logger(model: ModelParams, all_params) -> Path:
+    """Output dir + cfg_args persistence (reference train_utils.cpp:52-93)."""
+    path = model.model_path
+    if not path:
+        path = time.strftime("./output/%Y-%m-%dT%H-%M-%S")
+        model.model_path = path
+    out = Path(path)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "cfg_args").write_text(cfg_args_string(model))
+    with open(out / "params.txt", "w") as f:
+        for p in all_params:
+            print_params(p, out=f)
+    return out
+
+
+def make_train_step(
+    opt: OptimizationParams,
+    mesh: MeshParams,
+    spatial_lr_scale: float,
+    width: int,
+    height: int,
+) -> Callable:
+    """Build the jitted train step for a fixed camera resolution. The Gaussians
+    pytree's static fields (capacity via shapes, active_sh_degree) participate in
+    the jit cache key automatically."""
+    lr_fns = make_lr_fns(opt, spatial_lr_scale)
+
+    @jax.jit
+    def train_step(
+        g: Gaussians,
+        opt_state: AdamState,
+        cam: Camera,
+        bg: jnp.ndarray,
+        step: jnp.ndarray,
+    ):
+        params = g.params()
+        zeros2d = jnp.zeros((g.capacity, 2), jnp.float32)
+
+        def loss_fn(p, mean2d_offset):
+            g2 = g.with_params(p)
+            out = render(
+                cam, g2, bg,
+                tile_size=mesh.tile_size,
+                chunk=mesh.chunk_size,
+                pair_budget=mesh.pair_budget,
+                mean2d_offset=mean2d_offset,
+            )
+            loss = photometric_loss(out.image, cam.image, opt.lambda_dssim)
+            return loss, out
+
+        (loss, out), (pgrads, mean2d_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, zeros2d)
+
+        lrs = current_lrs(lr_fns, step)
+        new_params, new_opt_state = adam_update(params, pgrads, opt_state, lrs)
+        g_new = g.with_params(new_params)
+        g_new = add_densification_stats(g_new, mean2d_grad, out.radii, width, height)
+        return g_new, new_opt_state, loss, out.n_dropped
+
+    return train_step
+
+
+@functools.partial(jax.jit, static_argnames=("lambda_dssim", "tile_size", "chunk", "pair_budget"))
+def eval_step(g, cam, bg, *, lambda_dssim, tile_size, chunk, pair_budget):
+    out = render(cam, g, bg, tile_size=tile_size, chunk=chunk, pair_budget=pair_budget)
+    return (
+        photometric_loss(out.image, cam.image, lambda_dssim),
+        psnr(out.image, cam.image),
+    )
+
+
+def train(
+    model: ModelParams,
+    opt: OptimizationParams,
+    pipe: PipelineParams,
+    other: OtherParams,
+    mesh: MeshParams,
+    *,
+    progress_every: int = 100,
+) -> Tuple[Gaussians, Scene]:
+    """The full training entry point (reference train_utils.cpp:97-146, completed)."""
+    printer = Printer(other.quiet)
+    out_dir = prepare_output_and_logger(model, (model, opt, pipe, other, mesh))
+    printer.print(f"Output folder: {out_dir}")
+
+    scene = Scene(model, capacity=mesh.capacity)
+    g = scene.gaussians
+    printer.print(
+        f"Loaded scene: {len(scene.get_train_cameras())} train / "
+        f"{len(scene.get_test_cameras())} test cameras, "
+        f"{int(g.n_live)} initial Gaussians (capacity {g.capacity}), "
+        f"extent {scene.cameras_extent:.3f}"
+    )
+
+    opt_state = init_adam_state(g.params())
+    first_iter = 0
+    if other.start_checkpoint:
+        g, opt_state, first_iter = load_checkpoint(other.start_checkpoint, mesh.capacity)
+        printer.print(f"Restored checkpoint {other.start_checkpoint} at iter {first_iter}")
+
+    bg = jnp.asarray(
+        [1.0, 1.0, 1.0] if model.white_background else [0.0, 0.0, 0.0], jnp.float32
+    )
+
+    train_cams = scene.get_train_cameras()
+    w, h = train_cams[0].width, train_cams[0].height
+    train_step = make_train_step(opt, mesh, g.spatial_lr_scale, w, h)
+
+    rng = jax.random.PRNGKey(0)
+    cam_order: List[int] = []
+    ema_loss = 0.0
+    t0 = time.time()
+
+    for iteration in range(first_iter + 1, opt.iterations + 1):
+        # SH degree annealing every 1000 iters (reference gaussian_model.cpp:307-313)
+        if iteration % 1000 == 0:
+            g = g.oneup_sh_degree()
+
+        if not cam_order:
+            cam_order = list(range(len(train_cams)))
+            random.shuffle(cam_order)
+        cam = train_cams[cam_order.pop()]
+
+        if opt.random_background:
+            rng, sub = jax.random.split(rng)
+            step_bg = jax.random.uniform(sub, (3,), jnp.float32)
+        else:
+            step_bg = bg
+
+        g, opt_state, loss, n_dropped = train_step(
+            g, opt_state, cam, step_bg, jnp.asarray(iteration, jnp.int32)
+        )
+
+        # --- densification (upstream schedule; reference params.h:50-91) ---
+        if iteration < opt.densify_until_iter:
+            if (
+                iteration > opt.densify_from_iter
+                and iteration % opt.densification_interval == 0
+            ):
+                max_screen = 20.0 if iteration > opt.opacity_reset_interval else 0.0
+                rng, sub = jax.random.split(rng)
+                g, opt_state, dropped = densify_and_prune(
+                    g, opt_state, sub,
+                    max_grad=opt.densify_grad_threshold,
+                    min_opacity=0.005,
+                    extent=scene.cameras_extent,
+                    max_screen_size=max_screen,
+                    percent_dense=opt.percent_dense,
+                )
+                dropped = int(dropped)
+                n_live = int(g.n_live)
+                if dropped > 0 or n_live > 0.9 * g.capacity:
+                    new_cap = g.capacity * 2
+                    printer.print(
+                        f"[iter {iteration}] growing capacity {g.capacity} -> {new_cap} "
+                        f"(live {n_live}, dropped {dropped})"
+                    )
+                    g = grow_capacity(g, new_cap)
+                    opt_state = _grow_opt_state(opt_state, new_cap)
+
+            if iteration % opt.opacity_reset_interval == 0 or (
+                model.white_background and iteration == opt.densify_from_iter
+            ):
+                g, opt_state = reset_opacity(g, opt_state)
+
+        # --- logging / eval / save ---
+        ema_loss = 0.4 * float(loss) + 0.6 * ema_loss
+        if iteration % progress_every == 0:
+            rate = progress_every / max(time.time() - t0, 1e-9)
+            t0 = time.time()
+            printer.print(
+                f"iter {iteration}/{opt.iterations} loss {float(loss):.5f} "
+                f"ema {ema_loss:.5f} gaussians {int(g.n_live)} "
+                f"({rate:.1f} it/s)"
+            )
+
+        if iteration in other.test_iterations:
+            evaluate(scene, g, bg, opt, mesh, printer, iteration)
+
+        if iteration in other.save_iterations:
+            printer.print(f"[iter {iteration}] saving point cloud")
+            save_ply(
+                Path(out_dir) / "point_cloud" / f"iteration_{iteration}" / "point_cloud.ply",
+                g,
+            )
+
+        if iteration in other.checkpoint_iterations:
+            printer.print(f"[iter {iteration}] saving checkpoint")
+            save_checkpoint(Path(out_dir) / f"chkpnt{iteration}.npz", g, opt_state, iteration)
+
+    return g, scene
+
+
+def evaluate(scene, g, bg, opt, mesh, printer, iteration) -> None:
+    """Test/train-sample PSNR report (upstream training_report)."""
+    configs = [
+        ("test", scene.get_test_cameras()),
+        ("train", scene.get_train_cameras()[:5]),
+    ]
+    for name, cams in configs:
+        if not cams:
+            continue
+        losses, psnrs = [], []
+        for cam in cams:
+            l, p = eval_step(
+                g, cam, bg,
+                lambda_dssim=opt.lambda_dssim,
+                tile_size=mesh.tile_size,
+                chunk=mesh.chunk_size,
+                pair_budget=mesh.pair_budget,
+            )
+            losses.append(float(l))
+            psnrs.append(float(p))
+        printer.print(
+            f"[iter {iteration}] eval {name}: loss {np.mean(losses):.5f} "
+            f"PSNR {np.mean(psnrs):.2f}"
+        )
+
+
+def _grow_opt_state(s: AdamState, new_cap: int) -> AdamState:
+    zpad = lambda a: jnp.concatenate(
+        [a, jnp.zeros((new_cap - a.shape[0],) + a.shape[1:], a.dtype)], axis=0
+    )
+    return AdamState(
+        mu={k: zpad(v) for k, v in s.mu.items()},
+        nu={k: zpad(v) for k, v in s.nu.items()},
+        count=s.count,
+    )
