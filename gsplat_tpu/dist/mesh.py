@@ -1,0 +1,67 @@
+"""Device mesh & process bootstrap.
+
+The reference has zero parallelism (SURVEY.md §2.2: no DP/TP/PP, no NCCL/MPI — the
+ip/port flags are for upstream's GUI viewer). This layer is therefore designed
+TPU-first rather than ported:
+
+- axes: ("data", "tile") — camera-batch data parallelism over `data`, intra-image
+  spatial (tile-band) parallelism over `tile`. 3DGS has no sequence dimension; the
+  scaling axes are cameras x pixels (SURVEY.md §5 'long-context' row).
+- collectives: XLA inserts psum/all_gather over ICI from shard_map transposes —
+  no hand-written communication backend (SURVEY.md §2.2 table).
+- multi-host: jax.distributed.initialize() over DCN, one process per host, with
+  per-host data loading feeding jax.make_array_from_process_local_data.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+TILE_AXIS = "tile"
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bootstrap (DCN). No-op for single-process runs; on TPU pods with
+    the standard environment, jax.distributed.initialize() autodetects."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def make_mesh(
+    data: int = -1, tile: int = 1, devices=None
+) -> Mesh:
+    """Build the ("data","tile") mesh. data=-1 consumes all remaining devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data == -1:
+        assert n % tile == 0, (n, tile)
+        data = n // tile
+    assert data * tile == n, f"mesh {data}x{tile} != {n} devices"
+    arr = np.asarray(devices).reshape(data, tile)
+    return Mesh(arr, (DATA_AXIS, TILE_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh) -> NamedSharding:
+    """Leading-axis sharding over the camera batch."""
+    return NamedSharding(mesh, P(DATA_AXIS))

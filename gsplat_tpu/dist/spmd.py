@@ -1,0 +1,199 @@
+"""SPMD training step: camera-batch data parallelism x intra-image tile-band
+parallelism under shard_map.
+
+No reference equivalent (the reference is strictly single-device, SURVEY.md §2.2);
+this is the 'missing L5 layer' of SURVEY.md §1, designed TPU-first:
+
+- Gaussians + Adam state replicated (P()); the camera batch sharded over `data`
+  (one camera per data-mesh column per step); each `tile` row owns a horizontal
+  band of the image.
+- Inside shard_map each device projects all Gaussians (cheap, replicated math),
+  rasterizes ONLY its band (binning + Pallas compositing on band-local tiles),
+  all_gathers the bands over `tile` into the full image, and computes the loss.
+- Gradients: the all_gather transpose reduce-scatters the image cotangent back to
+  band owners, and the shard_map transpose psums parameter gradients over the
+  whole mesh — the DP gradient allreduce rides ICI without any hand-written
+  collective (SURVEY.md §2.2 table rows 'Gradient reduction'/'Collective layer').
+- The optimizer update runs replicated on every device (standard DP: redundant
+  flops, zero communication).
+
+Loss semantics: mean over the camera batch of the upstream L1+D-SSIM photometric
+loss — identical to upstream at batch=1, a batch-mean generalization otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from gsplat_tpu.config import MeshParams, OptimizationParams
+from gsplat_tpu.core.camera import Camera
+from gsplat_tpu.core.gaussians import Gaussians
+from gsplat_tpu.dist.mesh import DATA_AXIS, TILE_AXIS
+from gsplat_tpu.render.render import render
+from gsplat_tpu.train.densify import add_densification_stats
+from gsplat_tpu.train.loss import photometric_loss, psnr
+from gsplat_tpu.train.optim import AdamState, adam_update, current_lrs, make_lr_fns
+
+
+def stack_cameras(cams: List[Camera]) -> Camera:
+    """Stack same-resolution cameras into one pytree with a leading batch dim."""
+    assert len({(c.width, c.height) for c in cams}) == 1, "mixed resolutions"
+    stack = lambda xs: jnp.stack(xs) if xs[0] is not None else None
+    return Camera(
+        world_view=stack([c.world_view for c in cams]),
+        full_proj=stack([c.full_proj for c in cams]),
+        cam_center=stack([c.cam_center for c in cams]),
+        tan_fovx=stack([c.tan_fovx for c in cams]),
+        tan_fovy=stack([c.tan_fovy for c in cams]),
+        image=stack([c.image for c in cams]),
+        width=cams[0].width,
+        height=cams[0].height,
+        image_name="",
+        uid=0,
+    )
+
+
+def _band_height(height: int, tile_axis: int, tile_size: int) -> int:
+    per = -(-height // tile_axis)
+    return -(-per // tile_size) * tile_size
+
+
+def _unbatch(cam: Camera) -> Camera:
+    """Strip the leading (local, ==1) batch dim from a stacked camera block."""
+    take = lambda x: None if x is None else x[0]
+    return Camera(
+        world_view=take(cam.world_view),
+        full_proj=take(cam.full_proj),
+        cam_center=take(cam.cam_center),
+        tan_fovx=take(cam.tan_fovx),
+        tan_fovy=take(cam.tan_fovy),
+        image=take(cam.image),
+        width=cam.width,
+        height=cam.height,
+        image_name=cam.image_name,
+        uid=cam.uid,
+    )
+
+
+def make_spmd_train_step(
+    mesh: Mesh,
+    opt: OptimizationParams,
+    mp: MeshParams,
+    spatial_lr_scale: float,
+    width: int,
+    height: int,
+    interpret: Optional[bool] = None,
+) -> Callable:
+    """Build the jitted multi-device train step.
+
+    Call with (g, opt_state, cams, bg, step) where `cams` is a stacked Camera
+    batch of exactly mesh.shape['data'] cameras (shard its leaves with
+    NamedSharding(mesh, P('data')) for multi-host arrays).
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    n_tile = mesh.shape[TILE_AXIS]
+    band_h = _band_height(height, n_tile, mp.tile_size)
+    lr_fns = make_lr_fns(opt, spatial_lr_scale)
+
+    cam_spec = Camera(
+        world_view=P(DATA_AXIS), full_proj=P(DATA_AXIS), cam_center=P(DATA_AXIS),
+        tan_fovx=P(DATA_AXIS), tan_fovy=P(DATA_AXIS), image=P(DATA_AXIS),
+        width=width, height=height, image_name="", uid=0,
+    )
+
+    def device_loss(params, offsets, g, cams_blk, bg):
+        """Runs per device: render own band of own camera, gather, loss."""
+        cam = _unbatch(cams_blk)
+        ti = jax.lax.axis_index(TILE_AXIS)
+        g2 = g.with_params(params)
+        out = render(
+            cam, g2, bg,
+            tile_size=mp.tile_size, chunk=mp.chunk_size,
+            pair_budget=mp.pair_budget,
+            mean2d_offset=offsets[0],
+            interpret=interpret,
+            region=(ti * band_h, band_h),
+        )
+        # full image from the tile-band ring; crop pad rows introduced by banding
+        full = jax.lax.all_gather(out.image, TILE_AXIS, axis=0, tiled=True)
+        full = full[:height]
+        loss = photometric_loss(full, cam.image, opt.lambda_dssim)
+        loss = jax.lax.pmean(loss, (DATA_AXIS, TILE_AXIS))
+        # block-leading dims so out_specs concatenate to (n_data, ...) / (n_data, n_tile)
+        return loss, (out.radii[None], out.visible[None], out.n_dropped.reshape(1, 1))
+
+    smapped = shard_map(
+        device_loss,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(), cam_spec, P()),
+        out_specs=(P(), (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS, TILE_AXIS))),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def train_step(
+        g: Gaussians,
+        opt_state: AdamState,
+        cams: Camera,
+        bg: jnp.ndarray,
+        step: jnp.ndarray,
+    ):
+        params = g.params()
+        offsets = jnp.zeros((n_data, g.capacity, 2), jnp.float32)
+
+        (loss, (radii, visible, n_dropped)), (pgrads, off_grads) = jax.value_and_grad(
+            lambda p, o: smapped(p, o, g, cams, bg), argnums=(0, 1), has_aux=True
+        )(params, offsets)
+
+        lrs = current_lrs(lr_fns, step)
+        new_params, new_opt_state = adam_update(params, pgrads, opt_state, lrs)
+        g_new = g.with_params(new_params)
+
+        # batch-accumulated densification stats (sum of per-view norms, max radii)
+        for i in range(n_data):
+            g_new = add_densification_stats(
+                g_new, off_grads[i], radii[i], width, height
+            )
+        return g_new, new_opt_state, loss, jnp.sum(n_dropped)
+
+    return train_step
+
+
+def make_spmd_eval_step(
+    mesh: Mesh,
+    mp: MeshParams,
+    lambda_dssim: float,
+    width: int,
+    height: int,
+    interpret: Optional[bool] = None,
+) -> Callable:
+    """Tile-band-parallel single-camera eval: returns (loss, psnr, image)."""
+    n_tile = mesh.shape[TILE_AXIS]
+    band_h = _band_height(height, n_tile, mp.tile_size)
+
+    def device_eval(g, cam, bg):
+        ti = jax.lax.axis_index(TILE_AXIS)
+        out = render(
+            cam, g, bg,
+            tile_size=mp.tile_size, chunk=mp.chunk_size,
+            pair_budget=mp.pair_budget, interpret=interpret,
+            region=(ti * band_h, band_h),
+        )
+        full = jax.lax.all_gather(out.image, TILE_AXIS, axis=0, tiled=True)[:height]
+        return photometric_loss(full, cam.image, lambda_dssim), psnr(full, cam.image), full
+
+    smapped = shard_map(
+        device_eval,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(smapped)

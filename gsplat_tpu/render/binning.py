@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 class Binning(NamedTuple):
     padded_gid: jnp.ndarray   # (padded_budget,) int32 Gaussian index; N_null when empty
-    chunk_tile: jnp.ndarray   # (num_chunks,) int32 tile id per kernel grid step
+    tile_start: jnp.ndarray   # (num_tiles,) int32 chunk-aligned pair offset per tile
+    tile_chunks: jnp.ndarray  # (num_tiles,) int32 number of chunks per tile
     tile_count: jnp.ndarray   # (num_tiles,) int32 live pairs per tile
     n_pairs: jnp.ndarray      # () int32 total live pairs (for budget monitoring)
     n_dropped: jnp.ndarray    # () int32 pairs dropped by budget overflow
@@ -71,7 +72,6 @@ def bin_gaussians(
     tw, th = tile_grid(width, height, tile_size)
     num_tiles = tw * th
     padded_budget = _padded_budget(pair_budget, num_tiles, chunk)
-    num_chunks = padded_budget // chunk
 
     x0, y0, x1, y1 = tile_rects(mean2d, radius, tw, th, tile_size)
     rect_w = jnp.maximum(x1 - x0, 0)
@@ -116,18 +116,10 @@ def bin_gaussians(
     padded_gid = jnp.full((padded_budget,), n, jnp.int32)
     padded_gid = padded_gid.at[dest].set(gid_s, mode="drop")
 
-    # chunk -> tile map: non-decreasing; trailing unused chunks clamp to the last
-    # occupied tile (they only add inert null pairs there)
-    chunk_starts = jnp.arange(num_chunks, dtype=jnp.int32) * chunk
-    chunk_tile = jnp.searchsorted(padded_cum, chunk_starts, side="right").astype(jnp.int32)
-    last_occupied = jnp.maximum(
-        jnp.searchsorted(padded_cum, jnp.maximum(padded_cum[-1], 1) - 1, side="right"), 0
-    ).astype(jnp.int32)
-    chunk_tile = jnp.minimum(chunk_tile, jnp.minimum(last_occupied, num_tiles - 1))
-
     return Binning(
         padded_gid=padded_gid,
-        chunk_tile=chunk_tile,
+        tile_start=padded_start,
+        tile_chunks=padded_count // chunk,
         tile_count=tile_count,
         n_pairs=jnp.minimum(total, pair_budget),
         n_dropped=n_dropped,

@@ -3,27 +3,34 @@
 TPU-native replacement for upstream's CUDA `diff-gaussian-rasterization` tile loop
 (the reference lacks it entirely; SURVEY.md §0, §7 M2/M3). Design:
 
-- The kernel grid is a dense 1-D sweep over chunk-aligned (Gaussian,tile) pair
-  blocks produced by `render.binning` (sorted by (tile, depth)). The output image
-  lives as per-tile blocks `(num_tiles, 4, NPIX)` (rgb accum + transmittance,
-  NPIX = tile_size^2 lanes); a chunk's output block index comes from the
-  scalar-prefetched `chunk_tile` map, so consecutive chunks of one tile revisit
-  the same VMEM block (classic TPU accumulation pattern — no atomics).
-- Front-to-back compositing is vectorized *within* a chunk: per-chunk exclusive
-  transmittance via cumulative log1p(-alpha) (exact in exact arithmetic), with the
-  running per-pixel transmittance carried in the output block across chunks.
-- The backward kernel re-sweeps the same chunk order front-to-back, reconstructing
-  per-pair transmittance and prefix color-dot-cotangent sums; per-pair gradients
-  for (mean2d, conic, rgb, opacity) are written to this chunk's own `(chunk, 16)`
-  block — each pair is owned by exactly one tile, so there are no write conflicts.
-  Per-Gaussian accumulation happens outside via the autodiff transpose of the
-  binning gather (an XLA scatter-add / segment-sum), SURVEY.md §7 hard part 1.
-- The 1e-4 transmittance early-exit of upstream is applied at chunk granularity
-  (identically in fwd and bwd, keeping gradients self-consistent).
+- The kernel grid is the TILE GRID: one program per image tile. Each program
+  streams its tile's sorted (Gaussian,tile) pair rows from HBM in chunk-sized
+  blocks with double-buffered async DMA (offsets come from scalar-prefetched
+  per-tile segment tables built by `render.binning`), composites front-to-back in
+  VMEM, and early-exits the whole tile once transmittance saturates — upstream's
+  per-pixel early-out applied at chunk granularity.
+- Pair attributes live TRANSPOSED in HBM as (16, P): Mosaic requires DMA slices to
+  be 128-lane-aligned in the minor dimension, so the sliced axis must be the pair
+  axis (chunk is a multiple of 128 on hardware); it also puts per-pair rows on
+  the full 128-lane VPU instead of wasting 112/128 lanes.
+- The per-pair/per-pixel Gaussian evaluation is MXU-shaped: power(pair,pixel) is
+  a bilinear form U(8,pair)^T @ V(8,pixel) where V = [px^2, py^2, px*py, px, py, 1]
+  in TILE-LOCAL pixel coordinates (local coords keep the f32 cancellation error
+  ~1e-5; global 1080p coordinates would lose ~3 digits). In-chunk front-to-back
+  compositing is parallelized with an exclusive-transmittance prefix computed by
+  a lower-triangular matmul in log space (exact in exact arithmetic), also MXU.
+- The backward kernel re-sweeps the same chunks front-to-back, reconstructing
+  per-pair transmittance and the prefix of color-dot-cotangent sums;
+  dL/d{mean2d, conic, rgb, opacity} per pair chains through dU = V @ dpower^T
+  (MXU again) and is DMA'd back to this tile's own segment of the d_attrs array —
+  each pair is owned by exactly one tile, so there are NO write conflicts and no
+  atomics (TPUs have none; SURVEY.md §7 hard part 1). Per-Gaussian gradient
+  accumulation happens outside via the autodiff transpose of the binning gather
+  (an XLA scatter-add / segment-sum).
 
-Attr row layout (16 f32 lanes):
+Attr row layout (16 rows x P pairs):
   0 mean_x | 1 mean_y | 2 conic_a | 3 conic_b | 4 conic_c | 5..7 rgb | 8 opacity |
-  9..15 zero padding (keeps blocks lane-aligned and leaves room for depth/extras).
+  9..15 zero padding.
 """
 
 from __future__ import annotations
@@ -44,7 +51,7 @@ ATTR_DIM = 16
 
 
 def pack_attrs(mean2d, conic, rgb, opacity) -> jnp.ndarray:
-    """(N,2),(N,3),(N,3),(N,) -> (N,16) kernel attribute rows (differentiable)."""
+    """(N,2),(N,3),(N,3),(N,) -> (N,16) attribute rows (differentiable)."""
     n = mean2d.shape[0]
     pad = jnp.zeros((n, ATTR_DIM - 9), jnp.float32)
     return jnp.concatenate(
@@ -52,234 +59,352 @@ def pack_attrs(mean2d, conic, rgb, opacity) -> jnp.ndarray:
     ).astype(jnp.float32)
 
 
-def _pixel_coords(ct, tw: int, tile_size: int, npix: int):
-    """Global (x,y) pixel coordinates of tile `ct` as (1, npix) f32 rows."""
-    ty = ct // tw
-    tx = ct % tw
+def _pixel_basis(tile_size: int):
+    """V (8, npix): [px^2, py^2, px*py, px, py, 1, 0, 0] in tile-local coords."""
+    npix = tile_size * tile_size
     pix = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
-    px = (tx * tile_size + pix % tile_size).astype(jnp.float32)
-    py = (ty * tile_size + pix // tile_size).astype(jnp.float32)
-    return px, py
+    px = (pix % tile_size).astype(jnp.float32)
+    py = (pix // tile_size).astype(jnp.float32)
+    one = jnp.ones((1, npix), jnp.float32)
+    zero = jnp.zeros((1, npix), jnp.float32)
+    return jnp.concatenate([px * px, py * py, px * py, px, py, one, zero, zero], axis=0)
+
+
+def _chunk_U(a, ox, oy):
+    """a (16, chunk) transposed attr block -> U (8, chunk) bilinear coefficients in
+    tile-local coordinates + raw rows for the backward chain."""
+    mxl = a[0:1, :] - ox
+    myl = a[1:2, :] - oy
+    ca = a[2:3, :]
+    cb = a[3:4, :]
+    cc = a[4:5, :]
+    op = a[8:9, :]
+    zero = jnp.zeros_like(ca)
+    U = jnp.concatenate(
+        [
+            -0.5 * ca,
+            -0.5 * cc,
+            -cb,
+            ca * mxl + cb * myl,
+            cc * myl + cb * mxl,
+            -0.5 * (ca * mxl * mxl + cc * myl * myl) - cb * mxl * myl,
+            zero,
+            zero,
+        ],
+        axis=0,
+    )
+    return U, mxl, myl, ca, cb, cc, op
+
+
+def _op_column(a):
+    """Opacity as a (chunk, 1) column via one-hot matmul — Mosaic-safe transpose
+    of the (1, chunk) attr row (the MXU does the lane->sublane move)."""
+    e8 = (jax.lax.broadcasted_iota(jnp.int32, (ATTR_DIM, 1), 0) == 8).astype(
+        jnp.float32
+    )
+    return _dg(a, e8, 0, 0)  # (chunk, 1)
+
+
+def _alphas_from_power(power, op_col):
+    """Upstream alpha masking: skip power>0, clamp at 0.99, zero below 1/255.
+    power (chunk, npix); op_col (chunk, 1). Returns (alpha, chain_mask, G)."""
+    G = jnp.exp(jnp.minimum(power, 0.0))
+    raw = op_col * G  # broadcast (chunk,1) * (chunk,npix)
+    ok = (power <= 0.0) & (raw >= ALPHA_MIN) & (raw <= ALPHA_MAX)
+    alpha = jnp.where(
+        ok, raw, jnp.where((power <= 0.0) & (raw > ALPHA_MAX), ALPHA_MAX, 0.0)
+    )
+    return alpha, ok.astype(jnp.float32), G
+
+
+def _dg(a, b, ca, cb):
+    """dot_general contracting axis ca of a with axis cb of b."""
+    return jax.lax.dot_general(
+        a, b, (((ca,), (cb,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _mm(a, b):
+    return _dg(a, b, 1, 0)
 
 
 def _cumsum0(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive cumsum along axis 0 as a lower-triangular matmul — Mosaic has no
-    cumsum lowering, and an (C,C)x(C,P) triangular matmul rides the MXU anyway."""
+    """Inclusive cumsum along axis 0 as a lower-triangular matmul (MXU; Mosaic has
+    no cumsum lowering)."""
     c = x.shape[0]
     row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
     tri = (row >= col).astype(x.dtype)
-    return jax.lax.dot_general(
-        tri, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    return _mm(tri, x)
 
 
-def _chunk_alphas(attrs, px, py):
-    """Shared fwd/bwd math: per-(pair,pixel) alpha with upstream masking.
-
-    Returns (alpha, chain_mask, G, dx, dy) — alpha is the effective composited
-    value; chain_mask is d(alpha)/d(raw) (1 where unclamped & unskipped)."""
-    mx = attrs[:, 0:1]
-    my = attrs[:, 1:2]
-    ca = attrs[:, 2:3]
-    cb = attrs[:, 3:4]
-    cc = attrs[:, 4:5]
-    op = attrs[:, 8:9]
-    dx = mx - px
-    dy = my - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    G = jnp.exp(jnp.minimum(power, 0.0))
-    raw = op * G
-    ok = (power <= 0.0) & (raw >= ALPHA_MIN) & (raw <= ALPHA_MAX)
-    alpha = jnp.where(ok, raw, jnp.where((power <= 0.0) & (raw > ALPHA_MAX), ALPHA_MAX, 0.0))
-    return alpha, ok.astype(jnp.float32), G, dx, dy
-
-
-def _fwd_kernel(ct_ref, attrs_ref, out_ref, *, tw: int, tile_size: int):
-    npix = tile_size * tile_size
-    k = pl.program_id(0)
-    ct = ct_ref[k]
-    prev = ct_ref[jnp.maximum(k - 1, 0)]
-    is_first = (k == 0) | (ct != prev)
-
-    @pl.when(is_first)
-    def _():
-        out_ref[0, :3, :] = jnp.zeros((3, npix), jnp.float32)
-        out_ref[0, 3, :] = jnp.ones((npix,), jnp.float32)
-
-    T = out_ref[0, 3, :]
-
-    @pl.when(jnp.max(T) >= T_EPS)
-    def _():
-        attrs = attrs_ref[:]
-        px, py = _pixel_coords(ct, tw, tile_size, npix)
-        alpha, _, _, _, _ = _chunk_alphas(attrs, px, py)
-        lg = jnp.log1p(-alpha)
-        cum = _cumsum0(lg)
-        t_exc = jnp.exp(cum - lg)  # exclusive in-chunk transmittance
-        w = alpha * t_exc * T[None, :]
-        rgb = attrs[:, 5:8]
-        out_ref[0, :3, :] = out_ref[0, :3, :] + jax.lax.dot_general(
-            rgb, w, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        out_ref[0, 3, :] = T * jnp.exp(jnp.sum(lg, axis=0))
-
-
-def _bwd_kernel(
-    ct_ref, attrs_ref, res_ref, g_ref, d_ref, carry_ref, *, tw: int, tile_size: int
+def _fwd_kernel(
+    ts_ref, tc_ref, attrs_hbm, out_ref, buf, sems, *, tw: int, tile_size: int, chunk: int
 ):
     npix = tile_size * tile_size
-    k = pl.program_id(0)
-    ct = ct_ref[k]
-    prev = ct_ref[jnp.maximum(k - 1, 0)]
-    is_first = (k == 0) | (ct != prev)
+    i = pl.program_id(0)
+    # binning guarantees chunk-aligned segment starts; chunk % 128 == 0 on hardware
+    start = pl.multiple_of(ts_ref[i], chunk)
+    nch = tc_ref[i]
+    ox = ((i % tw) * tile_size).astype(jnp.float32)
+    oy = ((i // tw) * tile_size).astype(jnp.float32)
+    V = _pixel_basis(tile_size)
 
-    @pl.when(is_first)
+    def dma(slot, j):
+        return pltpu.make_async_copy(
+            attrs_hbm.at[:, pl.ds(start + j * chunk, chunk)], buf.at[slot], sems.at[slot]
+        )
+
+    @pl.when(nch > 0)
     def _():
-        carry_ref[0, :] = jnp.ones((npix,), jnp.float32)   # running transmittance
-        carry_ref[1, :] = jnp.zeros((npix,), jnp.float32)  # prefix sum of w*(c.g)
+        dma(0, 0).start()
 
-    d_ref[:] = jnp.zeros((attrs_ref.shape[0], ATTR_DIM), jnp.float32)
-    t_run = carry_ref[0, :]
+    def cond(state):
+        j, acc, T = state
+        return (j < nch) & (jnp.max(T) >= T_EPS)
 
-    @pl.when(jnp.max(t_run) >= T_EPS)
-    def _():
-        attrs = attrs_ref[:]
-        px, py = _pixel_coords(ct, tw, tile_size, npix)
-        alpha, chain, G, dx, dy = _chunk_alphas(attrs, px, py)
-        ca = attrs[:, 2:3]
-        cb = attrs[:, 3:4]
-        cc = attrs[:, 4:5]
-        rgb = attrs[:, 5:8]
-        op = attrs[:, 8:9]
+    def body(state):
+        j, acc, T = state
+        slot = j % 2
+
+        @pl.when(j + 1 < nch)
+        def _():
+            dma((j + 1) % 2, j + 1).start()
+
+        dma(slot, j).wait()
+        a = buf[slot]                     # (16, chunk)
+        U, _, _, _, _, _, _ = _chunk_U(a, ox, oy)
+        power = _dg(U, V, 0, 0)           # (chunk, npix)
+        alpha, _, _ = _alphas_from_power(power, _op_column(a))
 
         lg = jnp.log1p(-alpha)
         cum = _cumsum0(lg)
         t_exc = jnp.exp(cum - lg)
-        t_i = t_exc * t_run[None, :]
-        w = alpha * t_i
+        w = alpha * t_exc * T             # (chunk, npix)
+        acc = acc + _mm(a[5:8, :], w)     # rgb (3,chunk) @ w -> (3, npix)
+        T = T * jnp.exp(jnp.sum(lg, axis=0, keepdims=True))
+        return j + 1, acc, T
 
-        g_rgb = g_ref[0, :3, :]          # (3, npix)
-        g_t = g_ref[0, 3, :]             # (npix,)
-        res_rgb = res_ref[0, :3, :]
-        t_final = res_ref[0, 3, :]
-        total_cg = jnp.sum(res_rgb * g_rgb, axis=0)  # (npix,)
+    j0 = jnp.zeros((), jnp.int32)
+    acc0 = jnp.zeros((3, npix), jnp.float32)
+    T0 = jnp.ones((1, npix), jnp.float32)
+    j_end, acc, T = jax.lax.while_loop(cond, body, (j0, acc0, T0))
 
-        cg = jax.lax.dot_general(
-            rgb, g_rgb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (chunk, npix)
-        wcg = w * cg
-        prefix = _cumsum0(wcg) + carry_ref[1, :][None, :]
-        denom = 1.0 - alpha
-        dalpha = t_i * cg - (
-            total_cg[None, :] - prefix + (t_final * g_t)[None, :]
-        ) / denom
-        dalpha = dalpha * chain
+    # early exit leaves the j_end-th DMA in flight — retire it
+    @pl.when(j_end < nch)
+    def _():
+        dma(j_end % 2, j_end).wait()
 
-        d_rgb = jax.lax.dot_general(
-            w, g_rgb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (chunk, 3)
-        d_op = jnp.sum(G * dalpha, axis=1, keepdims=True)
-        dpow = op * G * dalpha
-        d_ca = jnp.sum(-0.5 * dx * dx * dpow, axis=1, keepdims=True)
-        d_cb = jnp.sum(-dx * dy * dpow, axis=1, keepdims=True)
-        d_cc = jnp.sum(-0.5 * dy * dy * dpow, axis=1, keepdims=True)
-        d_mx = jnp.sum(-(ca * dx + cb * dy) * dpow, axis=1, keepdims=True)
-        d_my = jnp.sum(-(cb * dx + cc * dy) * dpow, axis=1, keepdims=True)
+    out_ref[0, :3, :] = acc
+    out_ref[0, 3:4, :] = T
 
-        zeros = jnp.zeros((attrs.shape[0], ATTR_DIM - 9), jnp.float32)
-        d_ref[:] = jnp.concatenate(
-            [d_mx, d_my, d_ca, d_cb, d_cc, d_rgb, d_op, zeros], axis=1
+
+def _bwd_kernel(
+    ts_ref, tc_ref, attrs_hbm, res_ref, g_ref, d_hbm, ibuf, obuf, isems, osems,
+    *, tw: int, tile_size: int, chunk: int,
+):
+    npix = tile_size * tile_size
+    i = pl.program_id(0)
+    # binning guarantees chunk-aligned segment starts; chunk % 128 == 0 on hardware
+    start = pl.multiple_of(ts_ref[i], chunk)
+    nch = tc_ref[i]
+    ox = ((i % tw) * tile_size).astype(jnp.float32)
+    oy = ((i // tw) * tile_size).astype(jnp.float32)
+    V = _pixel_basis(tile_size)
+    ones_pix = jnp.ones((1, npix), jnp.float32)
+
+    g_rgb = g_ref[0, :3, :]          # (3, npix) cotangent of the rgb accumulation
+    g_t = g_ref[0, 3:4, :]           # (1, npix) cotangent of final transmittance
+    res_rgb = res_ref[0, :3, :]
+    t_final = res_ref[0, 3:4, :]
+    total_cg = jnp.sum(res_rgb * g_rgb, axis=0, keepdims=True)  # (1, npix)
+
+    def idma(slot, j):
+        return pltpu.make_async_copy(
+            attrs_hbm.at[:, pl.ds(start + j * chunk, chunk)], ibuf.at[slot],
+            isems.at[slot],
         )
 
-        carry_ref[1, :] = prefix[attrs.shape[0] - 1, :]
-        carry_ref[0, :] = t_run * jnp.exp(jnp.sum(lg, axis=0))
+    def odma(slot, j):
+        return pltpu.make_async_copy(
+            obuf.at[slot], d_hbm.at[:, pl.ds(start + j * chunk, chunk)], osems.at[slot]
+        )
+
+    @pl.when(nch > 0)
+    def _():
+        idma(0, 0).start()
+
+    def body(j, carry):
+        t_run, prefix = carry
+        slot = j % 2
+
+        @pl.when(j + 1 < nch)
+        def _():
+            idma((j + 1) % 2, j + 1).start()
+
+        idma(slot, j).wait()
+        # the write DMA that used this output slot two chunks ago must be done
+        @pl.when(j >= 2)
+        def _():
+            odma(slot, j - 2).wait()
+
+        a = ibuf[slot]
+        alive = jnp.max(t_run) >= T_EPS
+
+        def live(_):
+            U, mxl, myl, ca, cb, cc, _ = _chunk_U(a, ox, oy)
+            op_col = _op_column(a)
+            power = _dg(U, V, 0, 0)
+            alpha, chain, G = _alphas_from_power(power, op_col)
+            rgb = a[5:8, :]
+
+            lg = jnp.log1p(-alpha)
+            cum = _cumsum0(lg)
+            t_exc = jnp.exp(cum - lg)
+            t_i = t_exc * t_run
+            w = alpha * t_i
+
+            cg = _dg(rgb, g_rgb, 0, 0)               # (chunk, npix)
+            wcg = w * cg
+            pref = _cumsum0(wcg) + prefix
+            dalpha = t_i * cg - (total_cg - pref + t_final * g_t) / (1.0 - alpha)
+            dalpha = dalpha * chain
+
+            d_rgb = _dg(g_rgb, w, 1, 1)              # (3, chunk)
+            gda = G * dalpha
+            d_op = _dg(ones_pix, gda, 1, 1)          # (1, chunk)
+            dpow = op_col * gda                      # (chunk, npix)
+            dU = _dg(V, dpow, 1, 1)                  # (8, chunk)
+            du3, du4, du5 = dU[3:4, :], dU[4:5, :], dU[5:6, :]
+            d_a = -0.5 * dU[0:1, :] + mxl * du3 - 0.5 * mxl * mxl * du5
+            d_c = -0.5 * dU[1:2, :] + myl * du4 - 0.5 * myl * myl * du5
+            d_b = -dU[2:3, :] + myl * du3 + mxl * du4 - mxl * myl * du5
+            d_mx = ca * du3 + cb * du4 - (ca * mxl + cb * myl) * du5
+            d_my = cb * du3 + cc * du4 - (cc * myl + cb * mxl) * du5
+
+            zeros = jnp.zeros((ATTR_DIM - 9, chunk), jnp.float32)
+            obuf[slot] = jnp.concatenate(
+                [d_mx, d_my, d_a, d_b, d_c, d_rgb, d_op, zeros], axis=0
+            )
+            return (
+                t_run * jnp.exp(jnp.sum(lg, axis=0, keepdims=True)),
+                pref[chunk - 1 : chunk, :],
+            )
+
+        def dead(_):
+            obuf[slot] = jnp.zeros((ATTR_DIM, chunk), jnp.float32)
+            return t_run, prefix
+
+        new_carry = jax.lax.cond(alive, live, dead, None)
+        odma(slot, j).start()
+        return new_carry
+
+    t0 = jnp.ones((1, npix), jnp.float32)
+    p0 = jnp.zeros((1, npix), jnp.float32)
+    jax.lax.fori_loop(0, nch, body, (t0, p0))
+
+    # retire trailing write DMAs
+    @pl.when(nch >= 1)
+    def _():
+        odma((nch - 1) % 2, nch - 1).wait()
+
+    @pl.when(nch >= 2)
+    def _():
+        odma((nch - 2) % 2, nch - 2).wait()
 
 
-def _fwd_call(attrs, chunk_tile, *, num_tiles, tw, tile_size, chunk, interpret):
+def _fwd_call(attrs_t, tile_start, tile_chunks, *, num_tiles, tw, tile_size, chunk,
+              interpret):
     npix = tile_size * tile_size
-    num_chunks = chunk_tile.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(num_chunks,),
-        in_specs=[
-            pl.BlockSpec((chunk, ATTR_DIM), lambda k, ct: (k, 0), memory_space=pltpu.VMEM),
-        ],
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 4, npix), lambda k, ct: (ct[k], 0, 0), memory_space=pltpu.VMEM
+            (1, 4, npix), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ATTR_DIM, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, tw=tw, tile_size=tile_size),
+        functools.partial(_fwd_kernel, tw=tw, tile_size=tile_size, chunk=chunk),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, 4, npix), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(chunk_tile, attrs)
+    )(tile_start, tile_chunks, attrs_t)
 
 
-def _bwd_call(attrs, chunk_tile, res, g, *, num_tiles, tw, tile_size, chunk, interpret):
+def _bwd_call(attrs_t, tile_start, tile_chunks, res, g, *, num_tiles, tw, tile_size,
+              chunk, interpret):
     npix = tile_size * tile_size
-    num_chunks = chunk_tile.shape[0]
     tile_block = pl.BlockSpec(
-        (1, 4, npix), lambda k, ct: (ct[k], 0, 0), memory_space=pltpu.VMEM
+        (1, 4, npix), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(num_chunks,),
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((chunk, ATTR_DIM), lambda k, ct: (k, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             tile_block,
             tile_block,
         ],
-        out_specs=pl.BlockSpec(
-            (chunk, ATTR_DIM), lambda k, ct: (k, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[pltpu.VMEM((2, npix), jnp.float32)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, ATTR_DIM, chunk), jnp.float32),
+            pltpu.VMEM((2, ATTR_DIM, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, tw=tw, tile_size=tile_size),
+        functools.partial(_bwd_kernel, tw=tw, tile_size=tile_size, chunk=chunk),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(attrs.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(attrs_t.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(chunk_tile, attrs, res, g)
+    )(tile_start, tile_chunks, attrs_t, res, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def composite_tiles(attrs, chunk_tile, static):
-    """attrs (padded_budget, 16) sorted+gathered pair rows; chunk_tile (num_chunks,)
-    int32 -> tiles (num_tiles, 4, npix): rgb accumulation + final transmittance.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def composite_tiles(attrs_t, tile_start, tile_chunks, static):
+    """attrs_t (16, padded_budget): TRANSPOSED sorted+gathered pair attributes;
+    tile_start/tile_chunks (num_tiles,) int32: per-tile chunk-aligned segment
+    table. -> tiles (num_tiles, 4, npix): rgb accumulation + final transmittance.
+    Tiles with zero pairs come out exactly (0,0,0,T=1).
 
-    `static`: hashable tuple (num_tiles, tw, tile_size, chunk, interpret).
+    `static`: hashable tuple (num_tiles, tw, tile_size, chunk, interpret);
+    chunk must be a multiple of 128 on hardware (DMA lane alignment).
     """
     num_tiles, tw, tile_size, chunk, interpret = static
     return _fwd_call(
-        attrs, chunk_tile,
+        attrs_t, tile_start, tile_chunks,
         num_tiles=num_tiles, tw=tw, tile_size=tile_size, chunk=chunk,
         interpret=interpret,
     )
 
 
-def _composite_fwd(attrs, chunk_tile, static):
-    out = composite_tiles(attrs, chunk_tile, static)
-    return out, (attrs, chunk_tile, out)
+def _composite_fwd(attrs_t, tile_start, tile_chunks, static):
+    out = composite_tiles(attrs_t, tile_start, tile_chunks, static)
+    return out, (attrs_t, tile_start, tile_chunks, out)
 
 
 def _composite_bwd(static, residuals, g):
     num_tiles, tw, tile_size, chunk, interpret = static
-    attrs, chunk_tile, out = residuals
-    d_attrs = _bwd_call(
-        attrs, chunk_tile, out, g,
+    attrs_t, tile_start, tile_chunks, out = residuals
+    d_attrs_t = _bwd_call(
+        attrs_t, tile_start, tile_chunks, out, g,
         num_tiles=num_tiles, tw=tw, tile_size=tile_size, chunk=chunk,
         interpret=interpret,
     )
-    d_chunk_tile = np.zeros(chunk_tile.shape, jax.dtypes.float0)
-    return d_attrs, d_chunk_tile
+    zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return d_attrs_t, zero_i(tile_start), zero_i(tile_chunks)
 
 
 composite_tiles.defvjp(_composite_fwd, _composite_bwd)

@@ -42,22 +42,30 @@ def render(
     bg: jnp.ndarray,
     *,
     tile_size: int = 16,
-    chunk: int = 64,
+    chunk: int = 256,
     pair_budget: int = 1 << 18,
     scaling_modifier: float = 1.0,
     override_color: Optional[jnp.ndarray] = None,
     mean2d_offset: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
+    region: Optional[tuple] = None,
 ) -> RenderOutput:
     """Render `g` through `cam` over background `bg` (3,).
 
     mean2d_offset: optional zeros (N,2); pass it and differentiate w.r.t. it to get
     the screen-space positional gradient used by densification.
     interpret: force Pallas interpreter mode (defaults to True off-TPU).
+    region: optional (y0, region_height) horizontal band to rasterize — the
+    projection uses the full camera, only tiling/compositing restricts to the
+    band (the unit of intra-image spatial parallelism; y0 may be traced,
+    region_height must be static).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     width, height = cam.width, cam.height
+    y0 = None
+    if region is not None:
+        y0, height = region
     tw, th = tile_grid(width, height, tile_size)
     num_tiles = tw * th
 
@@ -65,6 +73,11 @@ def render(
         g, cam, scaling_modifier=scaling_modifier,
         override_color=override_color, mean2d_offset=mean2d_offset,
     )
+    if y0 is not None:
+        shift = jnp.stack(
+            [jnp.zeros((), jnp.float32), jnp.asarray(y0, jnp.float32)]
+        )
+        proj = proj._replace(mean2d=proj.mean2d - shift[None, :])
 
     binning = bin_gaussians(
         jax.lax.stop_gradient(proj.mean2d),
@@ -74,22 +87,16 @@ def render(
         chunk=chunk, pair_budget=pair_budget,
     )
 
-    # differentiable per-Gaussian attrs with an inert null row at index N
+    # differentiable per-Gaussian attrs with an inert null row at index N; the
+    # kernel consumes them transposed (16, P) for DMA lane alignment
     attrs = pack_attrs(proj.mean2d, proj.conic, proj.rgb, proj.opacity)
     attrs = jnp.concatenate([attrs, jnp.zeros((1, attrs.shape[1]), attrs.dtype)], axis=0)
-    gathered = attrs[binning.padded_gid]
+    gathered_t = attrs[binning.padded_gid].T
 
+    if not interpret and chunk % 128 != 0:
+        raise ValueError(f"chunk must be a multiple of 128 on TPU, got {chunk}")
     static = (num_tiles, tw, tile_size, chunk, bool(interpret))
-    tiles = composite_tiles(gathered, binning.chunk_tile, static)
-
-    # tiles with zero pairs are never visited by the kernel: splice in the empty value
-    visited = (binning.tile_count > 0)[:, None, None]
-    empty = jnp.concatenate(
-        [jnp.zeros((1, 3, tile_size * tile_size), jnp.float32),
-         jnp.ones((1, 1, tile_size * tile_size), jnp.float32)],
-        axis=1,
-    )
-    tiles = jnp.where(visited, tiles, empty)
+    tiles = composite_tiles(gathered_t, binning.tile_start, binning.tile_chunks, static)
 
     rgb, transmittance = untile_image(tiles, tw, th, tile_size, width, height)
     image = rgb + transmittance[..., None] * bg[None, None, :]

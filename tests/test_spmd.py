@@ -1,0 +1,110 @@
+"""Multi-device SPMD tests on the 8-virtual-CPU-device mesh (SURVEY.md §4 lesson 3).
+
+Validates that the shard_map training step (camera-batch DP x tile-band
+parallelism) produces the same loss/params as the single-device step math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsplat_tpu.config import MeshParams, OptimizationParams
+from gsplat_tpu.core.camera import make_camera
+from gsplat_tpu.core.gaussians import create_from_pcd
+from gsplat_tpu.dist.mesh import make_mesh
+from gsplat_tpu.dist.spmd import make_spmd_eval_step, make_spmd_train_step, stack_cameras
+from gsplat_tpu.render.render import render
+from gsplat_tpu.train.loss import photometric_loss
+from gsplat_tpu.train.optim import adam_update, current_lrs, init_adam_state, make_lr_fns
+from tests.fixtures import look_at_rig
+
+W, H = 64, 32
+MP = MeshParams(tile_size=16, chunk_size=32, pair_budget=1 << 12)
+
+
+def scene(n_cams, seed=0):
+    rng = np.random.default_rng(seed)
+    n = 30
+    g = create_from_pcd(rng.normal(size=(n, 3)) * 0.5, rng.random((n, 3)), capacity=64)
+    cams = []
+    for R, T in look_at_rig(n_cams):
+        img = rng.random((H, W, 3)).astype(np.float32)
+        cams.append(make_camera(R, T, fovx=0.9, fovy=0.6, width=W, height=H, image=img))
+    return g, cams
+
+
+def reference_batch_step(g, opt_state, cams, bg, step, opt):
+    """Single-device math: mean loss over the camera batch, one Adam step."""
+    lr_fns = make_lr_fns(opt, 1.0)
+
+    def loss_fn(params):
+        g2 = g.with_params(params)
+        losses = [
+            photometric_loss(
+                render(c, g2, bg, tile_size=MP.tile_size, chunk=MP.chunk_size,
+                       pair_budget=MP.pair_budget).image,
+                c.image, opt.lambda_dssim,
+            )
+            for c in cams
+        ]
+        return jnp.mean(jnp.stack(losses))
+
+    loss, grads = jax.value_and_grad(loss_fn)(g.params())
+    lrs = current_lrs(lr_fns, step)
+    new_params, new_state = adam_update(g.params(), grads, opt_state, lrs)
+    return g.with_params(new_params), new_state, loss
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (8, 1), (2, 2)])
+def test_spmd_step_matches_single_device(mesh_shape):
+    data, tile = mesh_shape
+    ndev = data * tile
+    if ndev > len(jax.devices()):
+        pytest.skip("not enough devices")
+    mesh = make_mesh(data=data, tile=tile, devices=jax.devices()[:ndev])
+    g, cams = scene(n_cams=data)
+    bg = jnp.zeros(3)
+    opt = OptimizationParams()
+    opt_state = init_adam_state(g.params())
+
+    step_fn = make_spmd_train_step(mesh, opt, MP, 1.0, W, H, interpret=True)
+    cam_batch = stack_cameras(cams)
+    g_s, st_s, loss_s, nd = step_fn(
+        g, opt_state, cam_batch, bg, jnp.asarray(1, jnp.int32)
+    )
+
+    g_r, st_r, loss_r = reference_batch_step(
+        g, opt_state, cams, bg, jnp.asarray(1, jnp.int32), opt
+    )
+    np.testing.assert_allclose(float(loss_s), float(loss_r), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_s.xyz), np.asarray(g_r.xyz), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_s.mu["opacity"]), np.asarray(st_r.mu["opacity"]), atol=1e-6
+    )
+
+
+def test_spmd_eval_matches_render():
+    mesh = make_mesh(data=4, tile=2, devices=jax.devices()[:8])
+    g, cams = scene(n_cams=1, seed=3)
+    cam = cams[0]
+    bg = jnp.zeros(3)
+    eval_fn = make_spmd_eval_step(mesh, MP, 0.2, W, H, interpret=True)
+    loss, p, img = eval_fn(g, cam, bg)
+    ref_img = render(cam, g, bg, tile_size=MP.tile_size, chunk=MP.chunk_size,
+                     pair_budget=MP.pair_budget).image
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img), atol=2e-5)
+    ref_loss = photometric_loss(ref_img, cam.image, 0.2)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+
+
+def test_dryrun_entrypoints():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[2] == 3
+    ge.dryrun_multichip(8)

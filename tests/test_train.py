@@ -1,0 +1,122 @@
+"""Training-stack integration tests: loss decreases on a tiny self-consistent scene,
+checkpoint round-trips, the CLI flag surface parses (SURVEY.md §4 lesson (1))."""
+
+import math
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsplat_tpu.ckpt import load_checkpoint, save_checkpoint, save_ply
+from gsplat_tpu.config import MeshParams, OptimizationParams
+from gsplat_tpu.core.camera import make_camera
+from gsplat_tpu.core.gaussians import create_from_pcd
+from gsplat_tpu.io.ply import load_gaussian_ply
+from gsplat_tpu.render.render import render
+from gsplat_tpu.train.loop import make_train_step
+from gsplat_tpu.train.optim import init_adam_state
+from tests.fixtures import look_at_rig
+
+W, H = 64, 48
+
+
+def make_cams(n, images=None):
+    cams = []
+    for i, (R, T) in enumerate(look_at_rig(n)):
+        img = None if images is None else images[i]
+        cams.append(
+            make_camera(R, T, fovx=0.9, fovy=0.7, width=W, height=H, image=img)
+        )
+    return cams
+
+
+def test_training_reduces_loss():
+    rng = np.random.default_rng(0)
+    n = 40
+    pts = rng.normal(size=(n, 3)) * 0.5
+    cols = rng.random((n, 3))
+    g_true = create_from_pcd(pts, cols, capacity=64)
+    bg = jnp.zeros(3)
+    cams0 = make_cams(3)
+    targets = [
+        np.asarray(render(c, g_true, bg, tile_size=16, chunk=32, pair_budget=1 << 12).image)
+        for c in cams0
+    ]
+    cams = make_cams(3, targets)
+
+    # init from perturbed points/colors
+    g = create_from_pcd(
+        pts + rng.normal(size=pts.shape) * 0.1,
+        rng.random((n, 3)),
+        capacity=64,
+    )
+    opt = OptimizationParams(position_lr_delay_mult=1.0)
+    mesh = MeshParams(tile_size=16, chunk_size=32, pair_budget=1 << 12)
+    step = make_train_step(opt, mesh, spatial_lr_scale=1.0, width=W, height=H)
+    opt_state = init_adam_state(g.params())
+
+    losses = []
+    for it in range(1, 61):
+        cam = cams[it % len(cams)]
+        g, opt_state, loss, _ = step(g, opt_state, cam, bg, jnp.asarray(it, jnp.int32))
+        losses.append(float(loss))
+    first = np.mean(losses[:5])
+    last = np.mean(losses[-5:])
+    assert last < 0.6 * first, (first, last)
+    # densification stats accumulated during training
+    assert float(jnp.sum(g.denom)) > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    g = create_from_pcd(rng.normal(size=(10, 3)), rng.random((10, 3)), capacity=16)
+    opt_state = init_adam_state(g.params())
+    mu = {k: v + 1.5 for k, v in opt_state.mu.items()}
+    opt_state = opt_state.replace(mu=mu, count=jnp.asarray(42, jnp.int32))
+
+    p = tmp_path / "chk.npz"
+    save_checkpoint(p, g, opt_state, step=123)
+    g2, opt2, step = load_checkpoint(p, capacity=16)
+    assert step == 123
+    assert int(opt2.count) == 42
+    np.testing.assert_allclose(np.asarray(g2.xyz[:10]), np.asarray(g.xyz[:10]))
+    np.testing.assert_allclose(np.asarray(opt2.mu["xyz"][:10]), 1.5)
+    # re-padding to larger capacity
+    g3, _, _ = load_checkpoint(p, capacity=64)
+    assert g3.capacity == 64 and int(g3.n_live) == 10
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    g = create_from_pcd(rng.normal(size=(10, 3)), rng.random((10, 3)), capacity=16)
+    p = tmp_path / "pc.ply"
+    save_ply(p, g)
+    raw = load_gaussian_ply(p)
+    np.testing.assert_allclose(raw["xyz"], np.asarray(g.xyz[:10]), rtol=1e-6)
+    np.testing.assert_allclose(raw["scaling"], np.asarray(g.scaling[:10]), rtol=1e-6)
+    assert raw["features_rest"].shape == (10, 15, 3)
+
+
+def test_cli_parses_reference_flags():
+    """The reference's full flag surface (src/arguments/params.cpp:9-66)."""
+    from gsplat_tpu.config import parse_parameters
+
+    model, opt, pipe, other, mesh = parse_parameters(
+        [
+            "--source_path", "/x", "--model_path", "/y", "--white_background",
+            "--eval", "--sh_degree", "2", "--iterations", "7000",
+            "--position_lr_init", "0.0002", "--lambda_dssim", "0.3",
+            "--densify_grad_threshold", "0.0005",
+            "--test_iterations", "100", "200",
+            "--save_iterations", "100",
+            "--ip", "0.0.0.0", "--port", "6010", "--quiet",
+        ]
+    )
+    assert model.white_background and model.eval and model.sh_degree == 2
+    assert opt.iterations == 7000 and opt.lambda_dssim == 0.3
+    assert other.test_iterations == [100, 200]
+    assert other.ip == "0.0.0.0" and other.port == 6010 and other.quiet
+    # defaults preserved (reference params.h:50-91)
+    assert opt.opacity_reset_interval == 3000
+    assert opt.densify_until_iter == 15000
