@@ -1,0 +1,155 @@
+"""Headline benchmark: pixels/s/chip, fwd+bwd, 1M Gaussians @ 1080p.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "pixels/s", "vs_baseline": N, ...extras}
+
+The reference publishes no numbers (BASELINE.md: "None"), so vs_baseline is the
+fraction of the HBM-bandwidth speed-of-light for this algorithm on this chip:
+every live (Gaussian, tile) pair must minimally move 64B of attributes into the
+forward sweep and 64B in + 64B of gradients out of the backward sweep (192B
+total); SOL pixels/s = HBM_BW / (192B * pairs_per_pixel). Compute can beat
+nothing below that line; vs_baseline -> 1.0 means memory-bound optimal.
+"""
+
+import json
+import math
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+HBM_BW = {  # bytes/s, per chip
+    "TPU v5 lite": 819e9,   # v5e
+    "TPU v4": 1.2e12,
+    "TPU v6 lite": 1.6e12,  # v6e
+}
+
+
+def build_scene(n, width, height, seed=0, target_pairs_per_gaussian=6.0):
+    """Synthetic 1M-Gaussian scene with controlled splat sizes (so the pair count
+    matches a realistic trained scene rather than exploding)."""
+    from gsplat_tpu.core.camera import make_camera
+    from gsplat_tpu.core.gaussians import Gaussians
+    from gsplat_tpu.core.sh import num_sh_coeffs
+
+    rng = np.random.default_rng(seed)
+    # camera at z=-4 looking at origin; points in a box in front of it
+    pts = rng.normal(size=(n, 3)).astype(np.float32)
+    pts[:, 2] = pts[:, 2] * 0.5  # flatten along view dir a bit
+
+    # choose world-space sigma so the mean projected footprint covers ~target tiles:
+    # focal ~ 0.5*W/tan(fovx/2); radius_px ~ 3*sigma*focal/z
+    fovx, fovy = 1.2, 0.8
+    focal = 0.5 * width / math.tan(fovx / 2)
+    z_mean = 4.0
+    radius_px = 16.0 * math.sqrt(target_pairs_per_gaussian) / 2.0
+    sigma = radius_px * z_mean / (3.0 * focal)
+
+    m = num_sh_coeffs(3) - 1
+    cap = 1 << int(math.ceil(math.log2(n)))
+    pad = lambda a, fill=0.0: np.concatenate(
+        [a, np.full((cap - n,) + a.shape[1:], fill, np.float32)], axis=0
+    )
+    g = Gaussians(
+        xyz=jnp.asarray(pad(pts)),
+        f_dc=jnp.asarray(pad(rng.random((n, 3)).astype(np.float32))),
+        f_rest=jnp.asarray(np.zeros((cap, m, 3), np.float32)),
+        opacity=jnp.asarray(pad(np.full((n, 1), 0.0, np.float32), -30.0)),  # sigmoid->0.5
+        scaling=jnp.asarray(
+            pad(np.full((n, 3), math.log(sigma), np.float32), -30.0)
+        ),
+        rotation=jnp.asarray(
+            pad(np.tile(np.array([[1, 0, 0, 0]], np.float32), (n, 1)))
+        ),
+        max_radii2D=jnp.zeros(cap, jnp.float32),
+        xyz_gradient_accum=jnp.zeros(cap, jnp.float32),
+        denom=jnp.zeros(cap, jnp.float32),
+        n_live=jnp.asarray(n, jnp.int32),
+        active_sh_degree=3,
+        max_sh_degree=3,
+        spatial_lr_scale=1.0,
+    )
+
+    R = np.eye(3)
+    T = np.array([0.0, 0.0, z_mean])
+    img = rng.random((height, width, 3)).astype(np.float32)
+    cam = make_camera(R, T, fovx=fovx, fovy=fovy, width=width, height=height, image=img)
+    return g, cam
+
+
+def main():
+    from gsplat_tpu.render.render import render
+    from gsplat_tpu.train.loss import photometric_loss
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    if on_tpu:
+        n, width, height = 1_000_000, 1920, 1080
+        chunk, pair_budget = 256, 1 << 23
+        iters = 5
+    else:  # smoke fallback (BASELINE config 0 scale)
+        n, width, height = 2_000, 256, 256
+        chunk, pair_budget = 32, 1 << 14
+        iters = 2
+
+    g, cam = build_scene(n, width, height)
+    bg = jnp.zeros(3, jnp.float32)
+
+    @jax.jit
+    def fwd_bwd(g):
+        def loss_fn(params):
+            out = render(
+                cam, g.with_params(params), bg,
+                tile_size=16, chunk=chunk, pair_budget=pair_budget,
+            )
+            return photometric_loss(out.image, cam.image, 0.2), out.n_pairs
+
+        (loss, n_pairs), grads = jax.value_and_grad(loss_fn, has_aux=True)(g.params())
+        return loss, n_pairs, grads["xyz"]
+
+    t0 = time.time()
+    loss, n_pairs, _ = jax.block_until_ready(fwd_bwd(g))
+    compile_s = time.time() - t0
+
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.time()
+        jax.block_until_ready(fwd_bwd(g))
+        best = min(best, time.time() - t0)
+
+    pixels = width * height
+    pix_per_s = pixels / best
+    pairs = int(n_pairs)
+    pairs_per_pixel = max(pairs / pixels, 1e-9)
+
+    dev_kind = jax.devices()[0].device_kind
+    bw = next((v for k, v in HBM_BW.items() if k in dev_kind), 819e9)
+    sol_pix_per_s = bw / (192.0 * pairs_per_pixel)
+    vs = pix_per_s / sol_pix_per_s
+
+    print(json.dumps({
+        "metric": "pixels_per_s_per_chip_fwd_bwd_1M_gaussians_1080p"
+                  if on_tpu else "pixels_per_s_cpu_smoke",
+        "value": round(pix_per_s, 1),
+        "unit": "pixels/s",
+        "vs_baseline": round(vs, 4),
+        "step_ms": round(best * 1000, 2),
+        "pairs": pairs,
+        "pairs_per_pixel": round(pairs_per_pixel, 2),
+        "n_gaussians": n,
+        "resolution": f"{width}x{height}",
+        "loss": round(float(loss), 5),
+        "compile_s": round(compile_s, 1),
+        "device": dev_kind,
+        "backend": backend,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,6 +48,7 @@ from gsplat_tpu.train.densify import (
     reset_opacity,
 )
 from gsplat_tpu.train.loss import photometric_loss, psnr
+from gsplat_tpu.train.metrics import MetricsLogger
 from gsplat_tpu.train.optim import (
     AdamState,
     adam_update,
@@ -185,6 +186,7 @@ def train(
     w, h = train_cams[0].width, train_cams[0].height
     train_step = make_train_step(opt, mesh, g.spatial_lr_scale, w, h)
 
+    metrics = MetricsLogger(model.model_path)
     rng = jax.random.PRNGKey(0)
     cam_order: List[int] = []
     ema_loss = 0.0
@@ -252,9 +254,14 @@ def train(
                 f"ema {ema_loss:.5f} gaussians {int(g.n_live)} "
                 f"({rate:.1f} it/s)"
             )
+            metrics.log(
+                iteration, loss=float(loss), ema_loss=ema_loss,
+                n_gaussians=int(g.n_live), capacity=g.capacity,
+                it_per_s=round(rate, 2), n_dropped_pairs=int(n_dropped),
+            )
 
         if iteration in other.test_iterations:
-            evaluate(scene, g, bg, opt, mesh, printer, iteration)
+            evaluate(scene, g, bg, opt, mesh, printer, iteration, metrics)
 
         if iteration in other.save_iterations:
             printer.print(f"[iter {iteration}] saving point cloud")
@@ -270,7 +277,7 @@ def train(
     return g, scene
 
 
-def evaluate(scene, g, bg, opt, mesh, printer, iteration) -> None:
+def evaluate(scene, g, bg, opt, mesh, printer, iteration, metrics=None) -> None:
     """Test/train-sample PSNR report (upstream training_report)."""
     configs = [
         ("test", scene.get_test_cameras()),
@@ -294,6 +301,12 @@ def evaluate(scene, g, bg, opt, mesh, printer, iteration) -> None:
             f"[iter {iteration}] eval {name}: loss {np.mean(losses):.5f} "
             f"PSNR {np.mean(psnrs):.2f}"
         )
+        if metrics is not None:
+            metrics.log(
+                iteration,
+                **{f"{name}_loss": float(np.mean(losses)),
+                   f"{name}_psnr": float(np.mean(psnrs))},
+            )
 
 
 def _grow_opt_state(s: AdamState, new_cap: int) -> AdamState:

@@ -1,0 +1,34 @@
+"""Structured training metrics: JSONL event stream + console.
+
+The reference explicitly ignores TensorBoard ('// ignore tensorboard writer!!',
+src/utils/train_utils.cpp:92) and logs only timestamped text. Here every metric
+event is also appended as one JSON line to <model_path>/metrics.jsonl — trivially
+machine-readable (pandas.read_json(lines=True)), no TB dependency, works offline.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Optional
+
+
+class MetricsLogger:
+    def __init__(self, model_path: Optional[str] = None):
+        self._file = None
+        if model_path:
+            p = Path(model_path)
+            p.mkdir(parents=True, exist_ok=True)
+            self._file = open(p / "metrics.jsonl", "a", buffering=1)
+
+    def log(self, step: int, **values) -> None:
+        if self._file is None:
+            return
+        rec = {"step": step, "ts": time.time(), **values}
+        self._file.write(json.dumps(rec) + "\n")
+
+    def close(self) -> None:
+        if self._file is not None:
+            self._file.close()
+            self._file = None

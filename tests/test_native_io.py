@@ -1,0 +1,77 @@
+"""Native C++ IO runtime tests: COLMAP parsing parity with the Python readers,
+image decode parity with PIL, and the prefetch loader."""
+
+import numpy as np
+import pytest
+
+from gsplat_tpu.io import colmap
+from gsplat_tpu.io import native_loader as nl
+from tests.fixtures import make_colmap_scene
+
+pytestmark = pytest.mark.skipif(not nl.available(), reason="native lib not built")
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("native_scene")
+    make_colmap_scene(root, n_cams=5, width=40, height=30, n_points=50)
+    return root
+
+
+def test_cameras_parity(scene_dir):
+    py = colmap.read_intrinsics_binary(scene_dir / "sparse/0/cameras.bin")
+    nat = nl.read_cameras_bin(scene_dir / "sparse/0/cameras.bin")
+    assert set(py.keys()) == set(nat.keys())
+    for cid, cam in py.items():
+        model, w, h, params = nat[cid]
+        assert model == cam.model
+        assert (w, h) == (cam.width, cam.height)
+        np.testing.assert_allclose(params, cam.params)
+
+
+def test_images_parity(scene_dir):
+    py = colmap.read_extrinsics_binary(scene_dir / "sparse/0/images.bin")
+    nat = nl.read_images_bin(scene_dir / "sparse/0/images.bin")
+    assert set(py.keys()) == set(nat.keys())
+    for iid, img in py.items():
+        qvec, tvec, camera_id, name = nat[iid]
+        np.testing.assert_allclose(qvec, img.qvec)
+        np.testing.assert_allclose(tvec, img.tvec)
+        assert camera_id == img.camera_id
+        assert name == img.name
+
+
+def test_points3d_parity(scene_dir):
+    xyz_py, rgb_py, err_py = colmap.read_points3D_binary(
+        scene_dir / "sparse/0/points3D.bin"
+    )
+    xyz, rgb, err = nl.read_points3d_bin(scene_dir / "sparse/0/points3D.bin")
+    np.testing.assert_allclose(xyz, xyz_py)
+    np.testing.assert_array_equal(rgb, rgb_py)
+    np.testing.assert_allclose(err, err_py)
+
+
+def test_decode_matches_pil(scene_dir):
+    from PIL import Image as PILImage
+
+    path = sorted((scene_dir / "images").iterdir())[0]
+    with PILImage.open(path) as im:
+        ref = np.asarray(im, np.float32) / 255.0
+    h, w = ref.shape[:2]
+    out = nl.decode_image(path, w, h)
+    # same size => no resample; must match exactly
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_prefetch_loader(scene_dir):
+    paths = sorted(str(p) for p in (scene_dir / "images").iterdir())
+    loader = nl.PrefetchLoader(paths, width=40, height=30, threads=2)
+    loader.prefetch(list(range(len(paths))))
+    for i in range(len(paths)):
+        frame = loader.get(i)
+        assert frame.shape == (30, 40, 3)
+        assert 0.0 <= float(frame.min()) and float(frame.max()) <= 1.0
+    direct = nl.decode_image(paths[2], 40, 30)
+    loader.prefetch([2])
+    np.testing.assert_allclose(loader.get(2), direct)
+    loader.close()
