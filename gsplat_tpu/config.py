@@ -89,7 +89,7 @@ class MeshParams:
     data_axis: int = 1           # camera-batch shards
     tile_axis: int = 1           # intra-image tile shards
     tile_size: int = 16          # pixels per tile side (16x16 = 256 px, lane-friendly)
-    chunk_size: int = 256        # pairs per DMA block (multiple of 128 on TPU)
+    chunk_size: int = 128        # pairs per DMA block (multiple of 128 on TPU)
     capacity: int = 1 << 17      # initial Gaussian capacity (padded, static)
     pair_budget: int = 1 << 20   # max (Gaussian, tile) pairs per render (static)
     precision: str = "f32"       # rasterizer accumulation precision

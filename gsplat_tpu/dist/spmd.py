@@ -134,7 +134,7 @@ def make_spmd_train_step(
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P(), cam_spec, P()),
         out_specs=(P(), (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS, TILE_AXIS))),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
@@ -194,6 +194,6 @@ def make_spmd_eval_step(
         mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(smapped)

@@ -42,7 +42,7 @@ def render(
     bg: jnp.ndarray,
     *,
     tile_size: int = 16,
-    chunk: int = 256,
+    chunk: int = 128,
     pair_budget: int = 1 << 18,
     scaling_modifier: float = 1.0,
     override_color: Optional[jnp.ndarray] = None,

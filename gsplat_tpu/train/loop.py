@@ -98,11 +98,14 @@ def make_train_step(
     spatial_lr_scale: float,
     width: int,
     height: int,
+    pair_budget: Optional[int] = None,
 ) -> Callable:
     """Build the jitted train step for a fixed camera resolution. The Gaussians
     pytree's static fields (capacity via shapes, active_sh_degree) participate in
-    the jit cache key automatically."""
+    the jit cache key automatically; pair_budget overrides mesh.pair_budget (the
+    driver resizes it adaptively)."""
     lr_fns = make_lr_fns(opt, spatial_lr_scale)
+    budget = pair_budget if pair_budget is not None else mesh.pair_budget
 
     @jax.jit
     def train_step(
@@ -121,7 +124,7 @@ def make_train_step(
                 cam, g2, bg,
                 tile_size=mesh.tile_size,
                 chunk=mesh.chunk_size,
-                pair_budget=mesh.pair_budget,
+                pair_budget=budget,
                 mean2d_offset=mean2d_offset,
             )
             loss = photometric_loss(out.image, cam.image, opt.lambda_dssim)
@@ -135,7 +138,7 @@ def make_train_step(
         new_params, new_opt_state = adam_update(params, pgrads, opt_state, lrs)
         g_new = g.with_params(new_params)
         g_new = add_densification_stats(g_new, mean2d_grad, out.radii, width, height)
-        return g_new, new_opt_state, loss, out.n_dropped
+        return g_new, new_opt_state, loss, out.n_pairs, out.n_dropped
 
     return train_step
 
@@ -184,7 +187,10 @@ def train(
 
     train_cams = scene.get_train_cameras()
     w, h = train_cams[0].width, train_cams[0].height
-    train_step = make_train_step(opt, mesh, g.spatial_lr_scale, w, h)
+    pair_budget = mesh.pair_budget
+    train_step = make_train_step(opt, mesh, g.spatial_lr_scale, w, h,
+                                 pair_budget=pair_budget)
+    low_usage_streak = 0
 
     metrics = MetricsLogger(model.model_path)
     rng = jax.random.PRNGKey(0)
@@ -208,9 +214,34 @@ def train(
         else:
             step_bg = bg
 
-        g, opt_state, loss, n_dropped = train_step(
+        g, opt_state, loss, n_pairs, n_dropped = train_step(
             g, opt_state, cam, step_bg, jnp.asarray(iteration, jnp.int32)
         )
+
+        # --- adaptive pair budget: every gather/sort in the render pipeline
+        # scales with the STATIC budget, so keep it within ~2-4x of actual use
+        # (grow on overflow; shrink after a long stretch of low occupancy) ---
+        if int(n_dropped) > 0:
+            pair_budget *= 2
+            printer.print(
+                f"[iter {iteration}] pair budget {pair_budget // 2} -> {pair_budget} "
+                f"({int(n_dropped)} pairs dropped; recompiling)"
+            )
+            train_step = make_train_step(opt, mesh, g.spatial_lr_scale, w, h,
+                                         pair_budget=pair_budget)
+            low_usage_streak = 0
+        elif int(n_pairs) * 4 < pair_budget and pair_budget > mesh.pair_budget:
+            low_usage_streak += 1
+            if low_usage_streak >= 200:
+                pair_budget //= 2
+                printer.print(
+                    f"[iter {iteration}] pair budget shrink -> {pair_budget}"
+                )
+                train_step = make_train_step(opt, mesh, g.spatial_lr_scale, w, h,
+                                             pair_budget=pair_budget)
+                low_usage_streak = 0
+        else:
+            low_usage_streak = 0
 
         # --- densification (upstream schedule; reference params.h:50-91) ---
         if iteration < opt.densify_until_iter:

@@ -1,0 +1,65 @@
+"""End-to-end CLI tool tests on a synthetic COLMAP scene: train -> render sets ->
+metrics (the upstream train.py/render.py/metrics.py workflow the reference never
+implements; SURVEY.md §0)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.fixtures import make_colmap_scene
+
+
+@pytest.fixture(scope="module")
+def trained_model(tmp_path_factory):
+    scene_root = tmp_path_factory.mktemp("scene")
+    make_colmap_scene(scene_root, n_cams=6, width=48, height=32, n_points=40)
+    out = tmp_path_factory.mktemp("model")
+
+    from gsplat_tpu.cli import main
+
+    main([
+        "--source_path", str(scene_root), "--model_path", str(out),
+        "--eval", "--iterations", "8", "--capacity", "64",
+        "--pair_budget", "4096", "--chunk_size", "32",
+        "--save_iterations", "8", "--quiet",
+    ])
+    return scene_root, out
+
+
+def test_train_artifacts(trained_model):
+    scene_root, out = trained_model
+    assert (out / "cfg_args").exists()
+    assert (out / "cameras.json").exists()
+    assert (out / "input.ply").exists()
+    assert (out / "point_cloud" / "iteration_8" / "point_cloud.ply").exists()
+    cams = json.loads((out / "cameras.json").read_text())
+    assert len(cams) == 6
+    assert {"id", "img_name", "position", "rotation", "fx", "fy"} <= set(cams[0])
+
+
+def test_render_cli(trained_model):
+    scene_root, out = trained_model
+    from gsplat_tpu.render_cli import main
+
+    main(["--model_path", str(out), "--iteration", "-1",
+          "--pair_budget", "4096"])
+    test_renders = out / "test" / "ours_8" / "renders"
+    train_renders = out / "train" / "ours_8" / "renders"
+    assert len(list(test_renders.iterdir())) == 1   # llffhold=8 -> 1 of 6 to test
+    assert len(list(train_renders.iterdir())) == 5
+    assert (out / "test" / "ours_8" / "gt" / "00000.png").exists()
+
+
+def test_metrics_cli(trained_model):
+    scene_root, out = trained_model
+    from gsplat_tpu.metrics_cli import main
+
+    main(["--model_paths", str(out)])
+    results = json.loads((out / "results.json").read_text())
+    key = "test/ours_8"
+    assert key in results
+    assert results[key]["n_images"] == 1
+    assert results[key]["PSNR"] is not None and results[key]["PSNR"] > 0
+    assert 0.0 <= results[key]["SSIM"] <= 1.0

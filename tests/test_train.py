@@ -59,7 +59,7 @@ def test_training_reduces_loss():
     losses = []
     for it in range(1, 61):
         cam = cams[it % len(cams)]
-        g, opt_state, loss, _ = step(g, opt_state, cam, bg, jnp.asarray(it, jnp.int32))
+        g, opt_state, loss, _, _ = step(g, opt_state, cam, bg, jnp.asarray(it, jnp.int32))
         losses.append(float(loss))
     first = np.mean(losses[:5])
     last = np.mean(losses[-5:])
