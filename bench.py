@@ -91,7 +91,7 @@ def main():
     on_tpu = backend == "tpu"
     if on_tpu:
         n, width, height = 1_000_000, 1920, 1080
-        chunk, pair_budget = 256, 1 << 23
+        chunk, pair_budget = 128, 1 << 23
         iters = 5
     else:  # smoke fallback (BASELINE config 0 scale)
         n, width, height = 2_000, 256, 256

@@ -188,8 +188,27 @@ def train(
     train_cams = scene.get_train_cameras()
     w, h = train_cams[0].width, train_cams[0].height
     pair_budget = mesh.pair_budget
-    train_step = make_train_step(opt, mesh, g.spatial_lr_scale, w, h,
-                                 pair_budget=pair_budget)
+    n_mesh_dev = mesh.data_axis * mesh.tile_axis
+    spmd = n_mesh_dev > 1
+    if spmd:
+        from gsplat_tpu.dist.mesh import make_mesh
+        from gsplat_tpu.dist.spmd import make_spmd_train_step, stack_cameras
+
+        if n_mesh_dev > len(jax.devices()):
+            raise ValueError(
+                f"mesh {mesh.data_axis}x{mesh.tile_axis} needs {n_mesh_dev} devices, "
+                f"have {len(jax.devices())}"
+            )
+        dev_mesh = make_mesh(data=mesh.data_axis, tile=mesh.tile_axis)
+        printer.print(
+            f"SPMD: {mesh.data_axis}-camera batches x {mesh.tile_axis} tile bands"
+        )
+        train_step = make_spmd_train_step(
+            dev_mesh, opt, mesh, g.spatial_lr_scale, w, h
+        )
+    else:
+        train_step = make_train_step(opt, mesh, g.spatial_lr_scale, w, h,
+                                     pair_budget=pair_budget)
     low_usage_streak = 0
 
     metrics = MetricsLogger(model.model_path)
@@ -203,10 +222,14 @@ def train(
         if iteration % 1000 == 0:
             g = g.oneup_sh_degree()
 
-        if not cam_order:
-            cam_order = list(range(len(train_cams)))
-            random.shuffle(cam_order)
-        cam = train_cams[cam_order.pop()]
+        n_pick = mesh.data_axis if spmd else 1
+        picks = []
+        for _ in range(n_pick):
+            if not cam_order:
+                cam_order = list(range(len(train_cams)))
+                random.shuffle(cam_order)
+            picks.append(train_cams[cam_order.pop()])
+        cam = picks[0]
 
         if opt.random_background:
             rng, sub = jax.random.split(rng)
@@ -214,14 +237,34 @@ def train(
         else:
             step_bg = bg
 
-        g, opt_state, loss, n_pairs, n_dropped = train_step(
-            g, opt_state, cam, step_bg, jnp.asarray(iteration, jnp.int32)
-        )
+        # --profile_dir: capture a jax.profiler trace of steady-state steps
+        # (reference acknowledges and skips timing, train_utils.cpp:119-121)
+        if mesh.profile_dir and iteration == 20:
+            jax.profiler.start_trace(mesh.profile_dir)
+        if mesh.profile_dir and iteration == 20 + mesh.profile_steps:
+            jax.block_until_ready(g.xyz)
+            jax.profiler.stop_trace()
+            printer.print(f"profiler trace written to {mesh.profile_dir}")
+
+        if spmd:
+            from gsplat_tpu.dist.spmd import stack_cameras
+
+            g, opt_state, loss, n_dropped = train_step(
+                g, opt_state, stack_cameras(picks), step_bg,
+                jnp.asarray(iteration, jnp.int32),
+            )
+            n_pairs = jnp.asarray(0)  # budget adaptation is single-device-only
+        else:
+            g, opt_state, loss, n_pairs, n_dropped = train_step(
+                g, opt_state, cam, step_bg, jnp.asarray(iteration, jnp.int32)
+            )
 
         # --- adaptive pair budget: every gather/sort in the render pipeline
         # scales with the STATIC budget, so keep it within ~2-4x of actual use
         # (grow on overflow; shrink after a long stretch of low occupancy) ---
-        if int(n_dropped) > 0:
+        if spmd:
+            pass
+        elif int(n_dropped) > 0:
             pair_budget *= 2
             printer.print(
                 f"[iter {iteration}] pair budget {pair_budget // 2} -> {pair_budget} "

@@ -108,3 +108,26 @@ def test_dryrun_entrypoints():
     out = jax.jit(fn)(*args)
     assert out.shape[2] == 3
     ge.dryrun_multichip(8)
+
+
+def test_full_train_driver_spmd(tmp_path):
+    """train() end-to-end over the 4x2 CPU mesh (SPMD path wired via MeshParams)."""
+    from gsplat_tpu.config import (
+        MeshParams, ModelParams, OptimizationParams, OtherParams, PipelineParams,
+    )
+    from gsplat_tpu.train.loop import train
+    from tests.fixtures import make_colmap_scene
+
+    scene_root = tmp_path / "scene"
+    make_colmap_scene(scene_root, n_cams=9, width=48, height=32, n_points=40)
+    model = ModelParams(
+        source_path=str(scene_root), model_path=str(tmp_path / "out"), eval=True
+    )
+    opt = OptimizationParams(iterations=4, densify_from_iter=100)
+    other = OtherParams(test_iterations=[], save_iterations=[], quiet=True)
+    mesh = MeshParams(
+        data_axis=4, tile_axis=2, tile_size=16, chunk_size=32,
+        pair_budget=1 << 12, capacity=64,
+    )
+    g, scene = train(model, opt, PipelineParams(), other, mesh)
+    assert int(g.n_live) > 0
