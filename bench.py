@@ -31,7 +31,7 @@ HBM_BW = {  # bytes/s, per chip
 }
 
 
-def build_scene(n, width, height, seed=0, target_pairs_per_gaussian=6.0):
+def build_scene(n, width, height, seed=0, target_pairs_per_gaussian=4.0):
     """Synthetic 1M-Gaussian scene with controlled splat sizes (so the pair count
     matches a realistic trained scene rather than exploding)."""
     from gsplat_tpu.core.camera import make_camera
@@ -48,7 +48,8 @@ def build_scene(n, width, height, seed=0, target_pairs_per_gaussian=6.0):
     fovx, fovy = 1.2, 0.8
     focal = 0.5 * width / math.tan(fovx / 2)
     z_mean = 4.0
-    radius_px = 16.0 * math.sqrt(target_pairs_per_gaussian) / 2.0
+    # rect tiles ~ (2r/tile + 1)^2 = target  =>  r = tile*(sqrt(target)-1)/2
+    radius_px = 16.0 * (math.sqrt(target_pairs_per_gaussian) - 1.0) / 2.0
     sigma = radius_px * z_mean / (3.0 * focal)
 
     m = num_sh_coeffs(3) - 1
@@ -91,13 +92,14 @@ def main():
     on_tpu = backend == "tpu"
     if on_tpu:
         n, width, height = 1_000_000, 1920, 1080
-        chunk, pair_budget = 128, 1 << 23
+        chunk, pair_budget = 128, 1 << 22  # ~1.5x the scene's 3.8M pairs
         iters = 5
     else:  # smoke fallback (BASELINE config 0 scale)
         n, width, height = 2_000, 256, 256
         chunk, pair_budget = 32, 1 << 14
         iters = 2
 
+    print(f"building scene n={n} {width}x{height}", file=sys.stderr, flush=True)
     g, cam = build_scene(n, width, height)
     bg = jnp.zeros(3, jnp.float32)
 
@@ -113,9 +115,13 @@ def main():
         (loss, n_pairs), grads = jax.value_and_grad(loss_fn, has_aux=True)(g.params())
         return loss, n_pairs, grads["xyz"]
 
+    print("compiling fwd+bwd", file=sys.stderr, flush=True)
     t0 = time.time()
-    loss, n_pairs, _ = jax.block_until_ready(fwd_bwd(g))
+    compiled = fwd_bwd.lower(g).compile()
     compile_s = time.time() - t0
+    print(f"compiled in {compile_s:.0f}s; first run", file=sys.stderr, flush=True)
+    fwd_bwd = compiled
+    loss, n_pairs, _ = jax.block_until_ready(fwd_bwd(g))
 
     best = float("inf")
     for _ in range(iters):

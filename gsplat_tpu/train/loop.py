@@ -216,138 +216,149 @@ def train(
     cam_order: List[int] = []
     ema_loss = 0.0
     t0 = time.time()
+    iteration = first_iter
 
-    for iteration in range(first_iter + 1, opt.iterations + 1):
-        # SH degree annealing every 1000 iters (reference gaussian_model.cpp:307-313)
-        if iteration % 1000 == 0:
-            g = g.oneup_sh_degree()
+    try:
+        for iteration in range(first_iter + 1, opt.iterations + 1):
+            # SH degree annealing every 1000 iters (reference gaussian_model.cpp:307-313)
+            if iteration % 1000 == 0:
+                g = g.oneup_sh_degree()
 
-        n_pick = mesh.data_axis if spmd else 1
-        picks = []
-        for _ in range(n_pick):
-            if not cam_order:
-                cam_order = list(range(len(train_cams)))
-                random.shuffle(cam_order)
-            picks.append(train_cams[cam_order.pop()])
-        cam = picks[0]
+            n_pick = mesh.data_axis if spmd else 1
+            picks = []
+            for _ in range(n_pick):
+                if not cam_order:
+                    cam_order = list(range(len(train_cams)))
+                    random.shuffle(cam_order)
+                picks.append(train_cams[cam_order.pop()])
+            cam = picks[0]
 
-        if opt.random_background:
-            rng, sub = jax.random.split(rng)
-            step_bg = jax.random.uniform(sub, (3,), jnp.float32)
-        else:
-            step_bg = bg
+            if opt.random_background:
+                rng, sub = jax.random.split(rng)
+                step_bg = jax.random.uniform(sub, (3,), jnp.float32)
+            else:
+                step_bg = bg
 
-        # --profile_dir: capture a jax.profiler trace of steady-state steps
-        # (reference acknowledges and skips timing, train_utils.cpp:119-121)
-        if mesh.profile_dir and iteration == 20:
-            jax.profiler.start_trace(mesh.profile_dir)
-        if mesh.profile_dir and iteration == 20 + mesh.profile_steps:
-            jax.block_until_ready(g.xyz)
-            jax.profiler.stop_trace()
-            printer.print(f"profiler trace written to {mesh.profile_dir}")
+            # --profile_dir: capture a jax.profiler trace of steady-state steps
+            # (reference acknowledges and skips timing, train_utils.cpp:119-121)
+            if mesh.profile_dir and iteration == 20:
+                jax.profiler.start_trace(mesh.profile_dir)
+            if mesh.profile_dir and iteration == 20 + mesh.profile_steps:
+                jax.block_until_ready(g.xyz)
+                jax.profiler.stop_trace()
+                printer.print(f"profiler trace written to {mesh.profile_dir}")
 
-        if spmd:
-            from gsplat_tpu.dist.spmd import stack_cameras
+            if spmd:
+                from gsplat_tpu.dist.spmd import stack_cameras
 
-            g, opt_state, loss, n_dropped = train_step(
-                g, opt_state, stack_cameras(picks), step_bg,
-                jnp.asarray(iteration, jnp.int32),
-            )
-            n_pairs = jnp.asarray(0)  # budget adaptation is single-device-only
-        else:
-            g, opt_state, loss, n_pairs, n_dropped = train_step(
-                g, opt_state, cam, step_bg, jnp.asarray(iteration, jnp.int32)
-            )
+                g, opt_state, loss, n_dropped = train_step(
+                    g, opt_state, stack_cameras(picks), step_bg,
+                    jnp.asarray(iteration, jnp.int32),
+                )
+                n_pairs = jnp.asarray(0)  # budget adaptation is single-device-only
+            else:
+                g, opt_state, loss, n_pairs, n_dropped = train_step(
+                    g, opt_state, cam, step_bg, jnp.asarray(iteration, jnp.int32)
+                )
 
-        # --- adaptive pair budget: every gather/sort in the render pipeline
-        # scales with the STATIC budget, so keep it within ~2-4x of actual use
-        # (grow on overflow; shrink after a long stretch of low occupancy) ---
-        if spmd:
-            pass
-        elif int(n_dropped) > 0:
-            pair_budget *= 2
-            printer.print(
-                f"[iter {iteration}] pair budget {pair_budget // 2} -> {pair_budget} "
-                f"({int(n_dropped)} pairs dropped; recompiling)"
-            )
-            train_step = make_train_step(opt, mesh, g.spatial_lr_scale, w, h,
-                                         pair_budget=pair_budget)
-            low_usage_streak = 0
-        elif int(n_pairs) * 4 < pair_budget and pair_budget > mesh.pair_budget:
-            low_usage_streak += 1
-            if low_usage_streak >= 200:
-                pair_budget //= 2
+            # --- adaptive pair budget: every gather/sort in the render pipeline
+            # scales with the STATIC budget, so keep it within ~2-4x of actual use
+            # (grow on overflow; shrink after a long stretch of low occupancy) ---
+            if spmd:
+                pass
+            elif int(n_dropped) > 0:
+                pair_budget *= 2
                 printer.print(
-                    f"[iter {iteration}] pair budget shrink -> {pair_budget}"
+                    f"[iter {iteration}] pair budget {pair_budget // 2} -> {pair_budget} "
+                    f"({int(n_dropped)} pairs dropped; recompiling)"
                 )
                 train_step = make_train_step(opt, mesh, g.spatial_lr_scale, w, h,
                                              pair_budget=pair_budget)
                 low_usage_streak = 0
-        else:
-            low_usage_streak = 0
-
-        # --- densification (upstream schedule; reference params.h:50-91) ---
-        if iteration < opt.densify_until_iter:
-            if (
-                iteration > opt.densify_from_iter
-                and iteration % opt.densification_interval == 0
-            ):
-                max_screen = 20.0 if iteration > opt.opacity_reset_interval else 0.0
-                rng, sub = jax.random.split(rng)
-                g, opt_state, dropped = densify_and_prune(
-                    g, opt_state, sub,
-                    max_grad=opt.densify_grad_threshold,
-                    min_opacity=0.005,
-                    extent=scene.cameras_extent,
-                    max_screen_size=max_screen,
-                    percent_dense=opt.percent_dense,
-                )
-                dropped = int(dropped)
-                n_live = int(g.n_live)
-                if dropped > 0 or n_live > 0.9 * g.capacity:
-                    new_cap = g.capacity * 2
+            elif int(n_pairs) * 4 < pair_budget and pair_budget > mesh.pair_budget:
+                low_usage_streak += 1
+                if low_usage_streak >= 200:
+                    pair_budget //= 2
                     printer.print(
-                        f"[iter {iteration}] growing capacity {g.capacity} -> {new_cap} "
-                        f"(live {n_live}, dropped {dropped})"
+                        f"[iter {iteration}] pair budget shrink -> {pair_budget}"
                     )
-                    g = grow_capacity(g, new_cap)
-                    opt_state = _grow_opt_state(opt_state, new_cap)
+                    train_step = make_train_step(opt, mesh, g.spatial_lr_scale, w, h,
+                                                 pair_budget=pair_budget)
+                    low_usage_streak = 0
+            else:
+                low_usage_streak = 0
 
-            if iteration % opt.opacity_reset_interval == 0 or (
-                model.white_background and iteration == opt.densify_from_iter
-            ):
-                g, opt_state = reset_opacity(g, opt_state)
+            # --- densification (upstream schedule; reference params.h:50-91) ---
+            if iteration < opt.densify_until_iter:
+                if (
+                    iteration > opt.densify_from_iter
+                    and iteration % opt.densification_interval == 0
+                ):
+                    max_screen = 20.0 if iteration > opt.opacity_reset_interval else 0.0
+                    rng, sub = jax.random.split(rng)
+                    g, opt_state, dropped = densify_and_prune(
+                        g, opt_state, sub,
+                        max_grad=opt.densify_grad_threshold,
+                        min_opacity=0.005,
+                        extent=scene.cameras_extent,
+                        max_screen_size=max_screen,
+                        percent_dense=opt.percent_dense,
+                    )
+                    dropped = int(dropped)
+                    n_live = int(g.n_live)
+                    if dropped > 0 or n_live > 0.9 * g.capacity:
+                        new_cap = g.capacity * 2
+                        printer.print(
+                            f"[iter {iteration}] growing capacity {g.capacity} -> {new_cap} "
+                            f"(live {n_live}, dropped {dropped})"
+                        )
+                        g = grow_capacity(g, new_cap)
+                        opt_state = _grow_opt_state(opt_state, new_cap)
 
-        # --- logging / eval / save ---
-        ema_loss = 0.4 * float(loss) + 0.6 * ema_loss
-        if iteration % progress_every == 0:
-            rate = progress_every / max(time.time() - t0, 1e-9)
-            t0 = time.time()
-            printer.print(
-                f"iter {iteration}/{opt.iterations} loss {float(loss):.5f} "
-                f"ema {ema_loss:.5f} gaussians {int(g.n_live)} "
-                f"({rate:.1f} it/s)"
-            )
-            metrics.log(
-                iteration, loss=float(loss), ema_loss=ema_loss,
-                n_gaussians=int(g.n_live), capacity=g.capacity,
-                it_per_s=round(rate, 2), n_dropped_pairs=int(n_dropped),
-            )
+                if iteration % opt.opacity_reset_interval == 0 or (
+                    model.white_background and iteration == opt.densify_from_iter
+                ):
+                    g, opt_state = reset_opacity(g, opt_state)
 
-        if iteration in other.test_iterations:
-            evaluate(scene, g, bg, opt, mesh, printer, iteration, metrics)
+            # --- logging / eval / save ---
+            ema_loss = 0.4 * float(loss) + 0.6 * ema_loss
+            if iteration % progress_every == 0:
+                rate = progress_every / max(time.time() - t0, 1e-9)
+                t0 = time.time()
+                printer.print(
+                    f"iter {iteration}/{opt.iterations} loss {float(loss):.5f} "
+                    f"ema {ema_loss:.5f} gaussians {int(g.n_live)} "
+                    f"({rate:.1f} it/s)"
+                )
+                metrics.log(
+                    iteration, loss=float(loss), ema_loss=ema_loss,
+                    n_gaussians=int(g.n_live), capacity=g.capacity,
+                    it_per_s=round(rate, 2), n_dropped_pairs=int(n_dropped),
+                )
 
-        if iteration in other.save_iterations:
-            printer.print(f"[iter {iteration}] saving point cloud")
-            save_ply(
-                Path(out_dir) / "point_cloud" / f"iteration_{iteration}" / "point_cloud.ply",
-                g,
-            )
+            if iteration in other.test_iterations:
+                evaluate(scene, g, bg, opt, mesh, printer, iteration, metrics)
 
-        if iteration in other.checkpoint_iterations:
-            printer.print(f"[iter {iteration}] saving checkpoint")
-            save_checkpoint(Path(out_dir) / f"chkpnt{iteration}.npz", g, opt_state, iteration)
+            if iteration in other.save_iterations:
+                printer.print(f"[iter {iteration}] saving point cloud")
+                save_ply(
+                    Path(out_dir) / "point_cloud" / f"iteration_{iteration}" / "point_cloud.ply",
+                    g,
+                )
 
+            if iteration in other.checkpoint_iterations:
+                printer.print(f"[iter {iteration}] saving checkpoint")
+                save_checkpoint(Path(out_dir) / f"chkpnt{iteration}.npz", g, opt_state, iteration)
+
+    except KeyboardInterrupt:
+        # interrupt recovery (SURVEY.md §5 'Failure detection' row): persist an
+        # emergency checkpoint so --start_checkpoint can resume exactly here
+        path = Path(out_dir) / f"chkpnt_interrupt_{iteration}.npz"
+        printer.print(f"interrupted at iter {iteration}; saving {path}")
+        save_checkpoint(path, g, opt_state, iteration)
+        raise
+    finally:
+        metrics.close()
     return g, scene
 
 
