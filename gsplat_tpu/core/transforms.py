@@ -79,7 +79,9 @@ def covariance_from_scaling_rotation(
     Reference: src/scene/gaussian_model.cpp:18-28.
     """
     L = build_scaling_rotation(scaling * scaling_modifier, rotation)
-    return strip_symmetric(L @ jnp.swapaxes(L, -1, -2))
+    return strip_symmetric(
+        jnp.matmul(L, jnp.swapaxes(L, -1, -2), precision="highest")
+    )
 
 
 def get_expon_lr_func(

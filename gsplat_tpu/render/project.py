@@ -41,7 +41,7 @@ def compute_cov3d(scaling: jnp.ndarray, rotation: jnp.ndarray, modifier: float =
     """(N,3),(N,4) -> full symmetric (N,3,3). Reference covariance semantics
     (src/scene/gaussian_model.cpp:18-28) kept in matrix form for the EWA chain."""
     L = build_scaling_rotation(scaling * modifier, rotation)
-    return L @ jnp.swapaxes(L, -1, -2)
+    return jnp.matmul(L, jnp.swapaxes(L, -1, -2), precision="highest")
 
 
 def ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -65,11 +65,14 @@ def project_gaussians(
     ones = jnp.ones((n, 1), xyz.dtype)
     xyz_h = jnp.concatenate([xyz, ones], axis=-1)
 
-    # row-vector convention: x_clip = [x,1] @ full_proj (reference camera.cpp:66-71)
-    p_hom = xyz_h @ cam.full_proj
+    # row-vector convention: x_clip = [x,1] @ full_proj (reference camera.cpp:66-71).
+    # precision='highest' throughout: TPU matmuls default to bf16 inputs, which
+    # costs ~3 decimal digits of screen-space position — fatal for training.
+    hp = lambda a, b: jnp.matmul(a, b, precision="highest")
+    p_hom = hp(xyz_h, cam.full_proj)
     p_w = 1.0 / (p_hom[:, 3] + 1e-7)
     p_proj = p_hom[:, :3] * p_w[:, None]
-    p_view = xyz_h @ cam.world_view
+    p_view = hp(xyz_h, cam.world_view)
     depth = p_view[:, 2]
 
     in_front = depth > 0.2
@@ -100,8 +103,8 @@ def project_gaussians(
     )  # (N,2,3)
     # view rotation: x_view = x_world @ WV[:3,:3] => R_wv = WV[:3,:3]^T
     R_wv = cam.world_view[:3, :3].T
-    cov_view = R_wv @ cov3d @ R_wv.T  # (N,3,3) batched with broadcast matmul
-    cov2d = J @ cov_view @ jnp.swapaxes(J, -1, -2)  # (N,2,2)
+    cov_view = hp(hp(R_wv, cov3d), R_wv.T)
+    cov2d = hp(hp(J, cov_view), jnp.swapaxes(J, -1, -2))  # (N,2,2)
     a = cov2d[:, 0, 0] + 0.3
     b = cov2d[:, 0, 1]
     c = cov2d[:, 1, 1] + 0.3

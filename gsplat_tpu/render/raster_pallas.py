@@ -118,9 +118,16 @@ def _alphas_from_power(power, op_col):
 
 
 def _dg(a, b, ca, cb):
-    """dot_general contracting axis ca of a with axis cb of b."""
+    """dot_general contracting axis ca of a with axis cb of b.
+
+    precision=HIGHEST is load-bearing: TPU matmuls default to bf16 INPUT
+    precision (preferred_element_type only sets the accumulator), and bf16
+    truncation of the bilinear coefficients / log-transmittance terms is enough
+    to destabilize training (observed: loss divergence after ~400 iters on v5e
+    while the f32 CPU path converged)."""
     return jax.lax.dot_general(
-        a, b, (((ca,), (cb,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((ca,), (cb,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

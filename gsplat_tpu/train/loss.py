@@ -42,13 +42,14 @@ def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     kh = jnp.tile(window.reshape(size, 1, 1, 1), (1, 1, 1, c))  # HWIO depthwise
     kw = jnp.tile(window.reshape(1, size, 1, 1), (1, 1, 1, c))
     dn = lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
+    # precision='highest': TPU convs default to bf16 inputs; keep SSIM exact
     x = lax.conv_general_dilated(
         x, kh, (1, 1), [(size // 2, size // 2), (0, 0)], dimension_numbers=dn,
-        feature_group_count=c,
+        feature_group_count=c, precision=lax.Precision.HIGHEST,
     )
     x = lax.conv_general_dilated(
         x, kw, (1, 1), [(0, 0), (size // 2, size // 2)], dimension_numbers=dn,
-        feature_group_count=c,
+        feature_group_count=c, precision=lax.Precision.HIGHEST,
     )
     return x[0]
 
