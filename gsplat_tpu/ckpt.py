@@ -16,7 +16,7 @@ layout for viewer interop (absent upstream save_ply in the reference).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

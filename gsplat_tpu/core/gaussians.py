@@ -16,7 +16,7 @@ TPU-first design decisions (no reference equivalent):
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ TPU-first rather than ported:
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

@@ -23,13 +23,11 @@ loss — identical to upstream at batch=1, a batch-mean generalization otherwise
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from gsplat_tpu.config import MeshParams, OptimizationParams

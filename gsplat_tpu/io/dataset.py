@@ -11,8 +11,7 @@ reference's cv::imread (+BGR->RGB swap, dataset_readers.cpp:86-90).
 from __future__ import annotations
 
 import json
-import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, List, Optional
 

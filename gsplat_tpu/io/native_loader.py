@@ -10,10 +10,9 @@ been built (`make -C native`).
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -22,8 +22,8 @@ import jax.numpy as jnp
 
 from gsplat_tpu.core.camera import Camera
 from gsplat_tpu.core.gaussians import Gaussians
-from gsplat_tpu.render.binning import Binning, bin_gaussians, tile_grid
-from gsplat_tpu.render.project import Projection, project_gaussians
+from gsplat_tpu.render.binning import bin_gaussians, tile_grid
+from gsplat_tpu.render.project import project_gaussians
 from gsplat_tpu.render.raster_pallas import composite_tiles, pack_attrs, untile_image
 
 

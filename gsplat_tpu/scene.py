@@ -16,8 +16,6 @@ import re
 from pathlib import Path
 from typing import Dict, List, Optional
 
-import numpy as np
-
 from gsplat_tpu.config import ModelParams
 from gsplat_tpu.core.camera import Camera, camera_to_json, load_camera
 from gsplat_tpu.core.gaussians import Gaussians, create_from_pcd

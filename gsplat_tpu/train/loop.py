@@ -18,9 +18,7 @@ from __future__ import annotations
 
 import functools
 import random
-import sys
 import time
-from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable, List, Optional, Tuple
 

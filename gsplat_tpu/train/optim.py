@@ -18,14 +18,13 @@ callback per iteration, unlike the reference's host-side mutation).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, NamedTuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
 from flax import struct
 
 from gsplat_tpu.config import OptimizationParams
-from gsplat_tpu.core.gaussians import PARAM_KEYS
 from gsplat_tpu.core.transforms import get_expon_lr_func
 
 ADAM_B1 = 0.9
