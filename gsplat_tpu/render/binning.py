@@ -27,6 +27,9 @@ import jax.numpy as jnp
 
 class Binning(NamedTuple):
     padded_gid: jnp.ndarray   # (padded_budget,) int32 Gaussian index; N_null when empty
+    padded_eid: jnp.ndarray   # (padded_budget,) int32 expansion index; pair_budget when empty
+    gauss_offsets: jnp.ndarray  # (N,) int32 exclusive pair-count cumsum (expansion order)
+    gauss_cum: jnp.ndarray    # (N,) int32 inclusive pair-count cumsum
     tile_start: jnp.ndarray   # (num_tiles,) int32 chunk-aligned pair offset per tile
     tile_chunks: jnp.ndarray  # (num_tiles,) int32 number of chunks per tile
     tile_count: jnp.ndarray   # (num_tiles,) int32 live pairs per tile
@@ -108,8 +111,10 @@ def bin_gaussians(
     ).astype(jnp.float32)
     pair_gid = jnp.where(valid, gid_c, n).astype(jnp.int32)
 
-    tile_s, _, gid_s = jax.lax.sort(
-        (tile, pair_depth, pair_gid), num_keys=2, is_stable=True
+    # eidx rides along so the backward pass can map padded slots -> expansion
+    # order (where pairs are grouped contiguously by Gaussian)
+    tile_s, _, gid_s, eidx_s = jax.lax.sort(
+        (tile, pair_depth, pair_gid, p), num_keys=2, is_stable=True
     )
 
     # per-tile segment boundaries on the sorted array
@@ -131,10 +136,15 @@ def bin_gaussians(
     rank_q = q - tq[:, 1]
     valid_q = rank_q < tq[:, 2]
     p_src = jnp.clip(tq[:, 0] + rank_q, 0, pair_budget - 1)
-    padded_gid = jnp.where(valid_q, gid_s[p_src], n).astype(jnp.int32)
+    src_cols = jnp.stack([gid_s, eidx_s], axis=1)[p_src]  # one fused row-gather
+    padded_gid = jnp.where(valid_q, src_cols[:, 0], n).astype(jnp.int32)
+    padded_eid = jnp.where(valid_q, src_cols[:, 1], pair_budget).astype(jnp.int32)
 
     return Binning(
         padded_gid=padded_gid,
+        padded_eid=padded_eid,
+        gauss_offsets=offsets,
+        gauss_cum=cum,
         tile_start=padded_start,
         tile_chunks=padded_count // chunk,
         tile_count=tile_count,

@@ -15,16 +15,64 @@ Differentiation strategy (TPU-first):
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gsplat_tpu.core.camera import Camera
 from gsplat_tpu.core.gaussians import Gaussians
 from gsplat_tpu.render.binning import bin_gaussians, tile_grid
 from gsplat_tpu.render.project import project_gaussians
 from gsplat_tpu.render.raster_pallas import composite_tiles, pack_attrs, untile_image
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _gather_pairs_t(attrs, padded_gid, padded_eid, gauss_offsets, gauss_cum,
+                    pair_budget):
+    """Per-pair attribute gather (N+1,16) -> (16, padded_budget), with a
+    hand-written transpose: the autodiff transpose of this gather is a scatter-add
+    over the padded slots (measured 475ms at 4M pairs on v5e); instead we permute
+    the cotangents into EXPANSION order — where pairs are grouped contiguously per
+    Gaussian — and segment-reduce with one cumsum + boundary differences
+    (69 + 125 + 90 ms for the same workload)."""
+    return attrs[padded_gid].T
+
+
+def _gather_pairs_fwd(attrs, padded_gid, padded_eid, gauss_offsets, gauss_cum,
+                      pair_budget):
+    return (
+        attrs[padded_gid].T,
+        (padded_gid, padded_eid, gauss_offsets, gauss_cum, attrs.shape[0]),
+    )
+
+
+def _gather_pairs_bwd(pair_budget, res, d_t):
+    padded_gid, padded_eid, offsets, cum, n_rows = res
+    pad = d_t.shape[1]
+    attr_dim = d_t.shape[0]
+    # expansion slot -> padded slot (a permutation on the valid pairs); slots
+    # with no pair keep `pad`, which indexes the appended zero row below
+    inv_e = jnp.full((pair_budget,), pad, jnp.int32).at[padded_eid].set(
+        jnp.arange(pad, dtype=jnp.int32), mode="drop", unique_indices=True
+    )
+    d_rows = jnp.concatenate(
+        [d_t.T, jnp.zeros((1, attr_dim), d_t.dtype)], axis=0
+    )[inv_e]
+    S = jnp.concatenate(
+        [jnp.zeros((1, attr_dim), d_t.dtype), jnp.cumsum(d_rows, axis=0)], axis=0
+    )
+    d_live = S[cum] - S[offsets]  # (N, 16) per-Gaussian accumulated gradients
+    d_attrs = jnp.concatenate(
+        [d_live, jnp.zeros((n_rows - d_live.shape[0], attr_dim), d_t.dtype)], axis=0
+    )
+    zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return d_attrs, zero_i(padded_gid), zero_i(padded_eid), zero_i(offsets), zero_i(cum)
+
+
+_gather_pairs_t.defvjp(_gather_pairs_fwd, _gather_pairs_bwd)
 
 
 class RenderOutput(NamedTuple):
@@ -91,7 +139,10 @@ def render(
     # kernel consumes them transposed (16, P) for DMA lane alignment
     attrs = pack_attrs(proj.mean2d, proj.conic, proj.rgb, proj.opacity)
     attrs = jnp.concatenate([attrs, jnp.zeros((1, attrs.shape[1]), attrs.dtype)], axis=0)
-    gathered_t = attrs[binning.padded_gid].T
+    gathered_t = _gather_pairs_t(
+        attrs, binning.padded_gid, binning.padded_eid,
+        binning.gauss_offsets, binning.gauss_cum, pair_budget,
+    )
 
     if not interpret and chunk % 128 != 0:
         raise ValueError(f"chunk must be a multiple of 128 on TPU, got {chunk}")
