@@ -62,25 +62,51 @@ def project_gaussians(
     """
     xyz = g.get_xyz()
     n = xyz.shape[0]
-    ones = jnp.ones((n, 1), xyz.dtype)
-    xyz_h = jnp.concatenate([xyz, ones], axis=-1)
 
-    # row-vector convention: x_clip = [x,1] @ full_proj (reference camera.cpp:66-71).
-    # precision='highest' throughout: TPU matmuls default to bf16 inputs, which
-    # costs ~3 decimal digits of screen-space position — fatal for training.
-    hp = lambda a, b: jnp.matmul(a, b, precision="highest")
-    p_hom = hp(xyz_h, cam.full_proj)
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
-    p_proj = p_hom[:, :3] * p_w[:, None]
-    p_view = hp(xyz_h, cam.world_view)
+    # Everything below is EXPLICIT elementwise math over (N,) vectors rather than
+    # batched (N,4)/(N,3,3) matmuls: XLA lowers tiny batched contractions onto
+    # 4-lane-wide MXU tiles (measured ~114ns/Gaussian at 1M on v5e); the expanded
+    # scalar forms run on the full-width VPU (and stay exactly f32, no bf16
+    # default-precision hazard).
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    FP = cam.full_proj  # row-vector convention (reference camera.cpp:66-71)
+    hom = [x * FP[0, j] + y * FP[1, j] + z * FP[2, j] + FP[3, j] for j in range(4)]
+    p_w = 1.0 / (hom[3] + 1e-7)
+    p_proj = jnp.stack([hom[0] * p_w, hom[1] * p_w, hom[2] * p_w], axis=-1)
+    WV = cam.world_view
+    p_view = jnp.stack(
+        [x * WV[0, j] + y * WV[1, j] + z * WV[2, j] + WV[3, j] for j in range(3)],
+        axis=-1,
+    )
     depth = p_view[:, 2]
 
     in_front = depth > 0.2
     live = g.live_mask
     base_mask = in_front & live
 
-    # --- EWA 2D covariance ---
-    cov3d = compute_cov3d(g.get_scaling(), g.get_rotation(), scaling_modifier)
+    # --- EWA 2D covariance (explicit symmetric-form expansion, VPU-only) ---
+    s3 = g.get_scaling() * scaling_modifier
+    q = g.get_rotation()
+    qr, qi, qj, qk = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    # rotation matrix entries (reference general_utils.cpp:12-40)
+    r00 = 1 - 2 * (qj * qj + qk * qk)
+    r01 = 2 * (qi * qj - qr * qk)
+    r02 = 2 * (qi * qk + qr * qj)
+    r10 = 2 * (qi * qj + qr * qk)
+    r11 = 1 - 2 * (qi * qi + qk * qk)
+    r12 = 2 * (qj * qk - qr * qi)
+    r20 = 2 * (qi * qk - qr * qj)
+    r21 = 2 * (qj * qk + qr * qi)
+    r22 = 1 - 2 * (qi * qi + qj * qj)
+    s0sq, s1sq, s2sq = s3[:, 0] ** 2, s3[:, 1] ** 2, s3[:, 2] ** 2
+    # Sigma = R diag(s^2) R^T, 6 unique entries
+    c00 = r00 * r00 * s0sq + r01 * r01 * s1sq + r02 * r02 * s2sq
+    c01 = r00 * r10 * s0sq + r01 * r11 * s1sq + r02 * r12 * s2sq
+    c02 = r00 * r20 * s0sq + r01 * r21 * s1sq + r02 * r22 * s2sq
+    c11 = r10 * r10 * s0sq + r11 * r11 * s1sq + r12 * r12 * s2sq
+    c12 = r10 * r20 * s0sq + r11 * r21 * s1sq + r12 * r22 * s2sq
+    c22 = r20 * r20 * s0sq + r21 * r21 * s1sq + r22 * r22 * s2sq
+
     fx, fy = cam.focal_x, cam.focal_y
     limx = 1.3 * cam.tan_fovx
     limy = 1.3 * cam.tan_fovy
@@ -92,22 +118,27 @@ def project_gaussians(
 
     inv_z = 1.0 / z_safe
     inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(depth)
-    # J: d(pixel-projection)/d(view) 2x3 rows
-    J = jnp.stack(
-        [
-            jnp.stack([fx * inv_z, zeros, -fx * tx * inv_z2], axis=-1),
-            jnp.stack([zeros, fy * inv_z, -fy * ty * inv_z2], axis=-1),
-        ],
-        axis=-2,
-    )  # (N,2,3)
-    # view rotation: x_view = x_world @ WV[:3,:3] => R_wv = WV[:3,:3]^T
-    R_wv = cam.world_view[:3, :3].T
-    cov_view = hp(hp(R_wv, cov3d), R_wv.T)
-    cov2d = hp(hp(J, cov_view), jnp.swapaxes(J, -1, -2))  # (N,2,2)
-    a = cov2d[:, 0, 0] + 0.3
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + 0.3
+    # combined rows of A = J @ W, where W = WV[:3,:3]^T (view rotation) and
+    # J = [[fx/z, 0, -fx tx/z^2], [0, fy/z, -fy ty/z^2]]
+    W = cam.world_view[:3, :3].T  # (3,3) constant
+    j00, j02 = fx * inv_z, -fx * tx * inv_z2
+    j11, j12 = fy * inv_z, -fy * ty * inv_z2
+    a0 = j00 * W[0, 0] + j02 * W[2, 0]
+    a1 = j00 * W[0, 1] + j02 * W[2, 1]
+    a2 = j00 * W[0, 2] + j02 * W[2, 2]
+    b0 = j11 * W[1, 0] + j12 * W[2, 0]
+    b1 = j11 * W[1, 1] + j12 * W[2, 1]
+    b2 = j11 * W[1, 2] + j12 * W[2, 2]
+    # cov2d = A Sigma A^T with A rows a=(a0,a1,a2), b=(b0,b1,b2)
+    sa0 = c00 * a0 + c01 * a1 + c02 * a2
+    sa1 = c01 * a0 + c11 * a1 + c12 * a2
+    sa2 = c02 * a0 + c12 * a1 + c22 * a2
+    sb0 = c00 * b0 + c01 * b1 + c02 * b2
+    sb1 = c01 * b0 + c11 * b1 + c12 * b2
+    sb2 = c02 * b0 + c12 * b1 + c22 * b2
+    a = a0 * sa0 + a1 * sa1 + a2 * sa2 + 0.3
+    b = b0 * sa0 + b1 * sa1 + b2 * sa2
+    c = b0 * sb0 + b1 * sb1 + b2 * sb2 + 0.3
 
     det = a * c - b * b
     det_ok = det > 0.0
