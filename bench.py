@@ -92,7 +92,7 @@ def main():
     on_tpu = backend == "tpu"
     if on_tpu:
         n, width, height = 1_000_000, 1920, 1080
-        chunk, pair_budget = 128, 1 << 22  # ~1.5x the scene's 3.8M pairs
+        chunk, pair_budget = 128, 5 << 19  # ~1.25x the scene's 2.1M pairs at tile 32
         iters = 5
     else:  # smoke fallback (BASELINE config 0 scale)
         n, width, height = 2_000, 256, 256
@@ -108,7 +108,8 @@ def main():
         def loss_fn(params):
             out = render(
                 cam, g.with_params(params), bg,
-                tile_size=16, chunk=chunk, pair_budget=pair_budget,
+                tile_size=32 if on_tpu else 16,
+                chunk=chunk, pair_budget=pair_budget,
             )
             return photometric_loss(out.image, cam.image, 0.2), out.n_pairs
 

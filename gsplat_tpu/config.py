@@ -90,7 +90,7 @@ class MeshParams:
     tile_axis: int = 1           # intra-image tile shards
     profile_dir: str = ""        # capture a jax.profiler trace into this dir
     profile_steps: int = 10      # steps to trace (starting at iteration 20)
-    tile_size: int = 16          # pixels per tile side (16x16 = 256 px, lane-friendly)
+    tile_size: int = 32          # pixels per tile side (32x32: ~45% fewer pairs than 16)
     chunk_size: int = 128        # pairs per DMA block (multiple of 128 on TPU)
     capacity: int = 1 << 17      # initial Gaussian capacity (padded, static)
     pair_budget: int = 1 << 20   # max (Gaussian, tile) pairs per render (static)

@@ -8,8 +8,10 @@ the capability the reference's PipelineParams hooks anticipate but never impleme
 Differentiation strategy (TPU-first):
 - projection / SH / attr packing: plain jnp, autodiff.
 - binning: integer-valued, stop-gradient.
-- per-pair gather `attrs[padded_gid]`: autodiff's transpose is a scatter-add,
-  which IS the per-Gaussian gradient accumulation (no atomics needed on TPU).
+- per-pair gather: custom VJP (`_gather_pairs_t`) — per-Gaussian gradient
+  accumulation via an expansion-order permutation + cumsum-diff segment
+  reduction (no atomics needed on TPU, and ~2x faster than the XLA scatter-add
+  the autodiff transpose would emit).
 - tile compositing: Pallas kernels behind `composite_tiles`' custom_vjp.
 """
 
@@ -89,7 +91,7 @@ def render(
     g: Gaussians,
     bg: jnp.ndarray,
     *,
-    tile_size: int = 16,
+    tile_size: int = 32,
     chunk: int = 128,
     pair_budget: int = 1 << 18,
     scaling_modifier: float = 1.0,
