@@ -19,6 +19,16 @@ from gsplat_tpu.train.loop import initialize_random_seed, train
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    # persistent compilation cache: first-time kernel compiles take minutes on
+    # TPU; every later run (or recompile-on-growth) hits the cache
+    import os
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("GSPLAT_CACHE_DIR", "/tmp/jax_cache_gsplat"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     model, opt, pipe, other, mesh = parse_parameters(argv)
 
     for p in (model, opt, pipe, other, mesh):

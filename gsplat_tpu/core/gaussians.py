@@ -106,20 +106,35 @@ class Gaussians:
 
 
 def _pad_rows(cap: int):
-    """Inert row template per leaf."""
-    def pad(name: str, arr: jnp.ndarray) -> jnp.ndarray:
+    """Inert row template per leaf.
+
+    Host (numpy) inputs are padded in numpy and transferred once — a chain of
+    eager jnp ops pays per-op dispatch (and per-shape remote compiles) on a
+    tunneled TPU. Device inputs (capacity growth) stay on device — reading them
+    back would be far worse."""
+    def pad(name: str, arr) -> jnp.ndarray:
         n = arr.shape[0]
         if n == cap:
-            return arr
-        shape = (cap - n,) + arr.shape[1:]
+            return jnp.asarray(arr)
+        shape = (cap - n,) + tuple(arr.shape[1:])
+        on_host = isinstance(arr, np.ndarray)
+        xp = np if on_host else jnp
         if name == "opacity":
-            fill = jnp.full(shape, PAD_OPACITY_LOGIT, arr.dtype)
+            fill = xp.full(shape, PAD_OPACITY_LOGIT, np.float32)
         elif name == "scaling":
-            fill = jnp.full(shape, PAD_LOG_SCALE, arr.dtype)
+            fill = xp.full(shape, PAD_LOG_SCALE, np.float32)
         elif name == "rotation":
-            fill = jnp.zeros(shape, arr.dtype).at[:, 0].set(1.0)
+            if on_host:
+                fill = np.zeros(shape, np.float32)
+                fill[:, 0] = 1.0
+            else:
+                fill = jnp.zeros(shape, jnp.float32).at[:, 0].set(1.0)
         else:
-            fill = jnp.zeros(shape, arr.dtype)
+            fill = xp.zeros(shape, np.float32)
+        if on_host:
+            return jnp.asarray(
+                np.concatenate([np.asarray(arr, np.float32), fill], axis=0)
+            )
         return jnp.concatenate([arr, fill], axis=0)
 
     return pad
@@ -138,15 +153,19 @@ def create_from_pcd(
     n = len(points)
     if n > capacity:
         raise ValueError(f"{n} init points exceed capacity {capacity}")
-    pts = jnp.asarray(points, jnp.float32)
-    f_dc = rgb2sh(jnp.asarray(colors, jnp.float32))
+    # all-numpy construction (see _pad_rows note)
+    pts = np.asarray(points, np.float32)
+    f_dc = np.asarray(rgb2sh(np.asarray(colors, np.float64)), np.float32)
     m = num_sh_coeffs(max_sh_degree) - 1
-    f_rest = jnp.zeros((n, m, 3), jnp.float32)
+    f_rest = np.zeros((n, m, 3), np.float32)
 
-    dist2 = jnp.maximum(_mean_knn_dist2(np.asarray(points, np.float64)), 1e-7)
-    scaling = jnp.log(jnp.sqrt(dist2))[:, None].repeat(3, axis=1).astype(jnp.float32)
-    rotation = jnp.zeros((n, 4), jnp.float32).at[:, 0].set(1.0)
-    opacity = inverse_sigmoid(0.1 * jnp.ones((n, 1), jnp.float32))
+    dist2 = np.maximum(np.asarray(_mean_knn_dist2(np.asarray(points, np.float64))), 1e-7)
+    scaling = np.repeat(
+        np.log(np.sqrt(dist2))[:, None], 3, axis=1
+    ).astype(np.float32)
+    rotation = np.zeros((n, 4), np.float32)
+    rotation[:, 0] = 1.0
+    opacity = np.full((n, 1), np.log(0.1 / 0.9), np.float32)  # logit(0.1)
 
     pad = _pad_rows(capacity)
     return Gaussians(
@@ -170,13 +189,12 @@ def _mean_knn_dist2(points: np.ndarray) -> jnp.ndarray:
     """Mean squared distance to the 3 nearest neighbors (upstream simple-knn
     `distCUDA2` semantics), via scipy cKDTree on host."""
     if len(points) <= 3:
-        d = np.full(len(points), 1e-4)
-        return jnp.asarray(d, jnp.float32)
+        return np.full(len(points), 1e-4, np.float32)
     from scipy.spatial import cKDTree
 
     tree = cKDTree(points)
     dists, _ = tree.query(points, k=4)  # first col is self (0)
-    return jnp.asarray((dists[:, 1:] ** 2).mean(axis=1), jnp.float32)
+    return ((dists[:, 1:] ** 2).mean(axis=1)).astype(np.float32)
 
 
 def grow_capacity(g: Gaussians, new_capacity: int) -> Gaussians:

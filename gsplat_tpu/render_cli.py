@@ -47,6 +47,16 @@ def render_set(model_path: Path, name: str, iteration: int, cams, g, bg, mesh) -
 def main(argv: Optional[List[str]] = None) -> int:
     import argparse
 
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("GSPLAT_CACHE_DIR", "/tmp/jax_cache_gsplat"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from gsplat_tpu.config import MeshParams, ModelParams
     from gsplat_tpu.scene import Scene
 
