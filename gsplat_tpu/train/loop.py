@@ -112,6 +112,7 @@ def make_train_step(
         cam: Camera,
         bg: jnp.ndarray,
         step: jnp.ndarray,
+        ema: jnp.ndarray,
     ):
         params = g.params()
         zeros2d = jnp.zeros((g.capacity, 2), jnp.float32)
@@ -136,7 +137,9 @@ def make_train_step(
         new_params, new_opt_state = adam_update(params, pgrads, opt_state, lrs)
         g_new = g.with_params(new_params)
         g_new = add_densification_stats(g_new, mean2d_grad, out.radii, width, height)
-        return g_new, new_opt_state, loss, out.n_pairs, out.n_dropped
+        # EMA on device: the driver must not force a host sync every iteration
+        new_ema = jnp.where(step <= 1, loss, 0.4 * loss + 0.6 * ema)
+        return g_new, new_opt_state, loss, new_ema, out.n_pairs, out.n_dropped
 
     return train_step
 
@@ -212,7 +215,7 @@ def train(
     metrics = MetricsLogger(model.model_path)
     rng = jax.random.PRNGKey(0)
     cam_order: List[int] = []
-    ema_loss = 0.0
+    ema_loss = jnp.zeros((), jnp.float32)
     t0 = time.time()
     iteration = first_iter
 
@@ -254,15 +257,18 @@ def train(
                     jnp.asarray(iteration, jnp.int32),
                 )
                 n_pairs = jnp.asarray(0)  # budget adaptation is single-device-only
+                ema_loss = loss
             else:
-                g, opt_state, loss, n_pairs, n_dropped = train_step(
-                    g, opt_state, cam, step_bg, jnp.asarray(iteration, jnp.int32)
+                g, opt_state, loss, ema_loss, n_pairs, n_dropped = train_step(
+                    g, opt_state, cam, step_bg, jnp.asarray(iteration, jnp.int32),
+                    ema_loss,
                 )
 
             # --- adaptive pair budget: every gather/sort in the render pipeline
-            # scales with the STATIC budget, so keep it within ~2-4x of actual use
-            # (grow on overflow; shrink after a long stretch of low occupancy) ---
-            if spmd:
+            # scales with the STATIC budget. Checked every 10 iters only — scalar
+            # readbacks are host syncs; a short lag of dropped-pair steps is
+            # harmless ---
+            if spmd or iteration % 10 != 0:
                 pass
             elif int(n_dropped) > 0:
                 pair_budget *= 2
@@ -318,18 +324,17 @@ def train(
                 ):
                     g, opt_state = reset_opacity(g, opt_state)
 
-            # --- logging / eval / save ---
-            ema_loss = 0.4 * float(loss) + 0.6 * ema_loss
+            # --- logging / eval / save (the only steady-path host syncs) ---
             if iteration % progress_every == 0:
                 rate = progress_every / max(time.time() - t0, 1e-9)
                 t0 = time.time()
                 printer.print(
                     f"iter {iteration}/{opt.iterations} loss {float(loss):.5f} "
-                    f"ema {ema_loss:.5f} gaussians {int(g.n_live)} "
+                    f"ema {float(ema_loss):.5f} gaussians {int(g.n_live)} "
                     f"({rate:.1f} it/s)"
                 )
                 metrics.log(
-                    iteration, loss=float(loss), ema_loss=ema_loss,
+                    iteration, loss=float(loss), ema_loss=float(ema_loss),
                     n_gaussians=int(g.n_live), capacity=g.capacity,
                     it_per_s=round(rate, 2), n_dropped_pairs=int(n_dropped),
                 )

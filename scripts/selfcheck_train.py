@@ -124,12 +124,13 @@ def main():
     print(f"initial PSNR {mean_psnr():.2f}", flush=True)
     key = jax.random.PRNGKey(0)
     t0 = time.time()
+    ema = jnp.zeros((), jnp.float32)
     for it in range(1, ns.iters + 1):
         if it % 1000 == 0:
             g = g.oneup_sh_degree()
         cam = cams[(it * 7) % len(cams)]
-        g, opt_state, loss, n_pairs, n_dropped = step_fn(
-            g, opt_state, cam, bg, jnp.asarray(it, jnp.int32)
+        g, opt_state, loss, ema, n_pairs, n_dropped = step_fn(
+            g, opt_state, cam, bg, jnp.asarray(it, jnp.int32), ema
         )
         if it < opt.densify_until_iter and it > opt.densify_from_iter \
                 and it % opt.densification_interval == 0:

@@ -57,9 +57,12 @@ def test_training_reduces_loss():
     opt_state = init_adam_state(g.params())
 
     losses = []
+    ema = jnp.zeros((), jnp.float32)
     for it in range(1, 61):
         cam = cams[it % len(cams)]
-        g, opt_state, loss, _, _ = step(g, opt_state, cam, bg, jnp.asarray(it, jnp.int32))
+        g, opt_state, loss, ema, _, _ = step(
+            g, opt_state, cam, bg, jnp.asarray(it, jnp.int32), ema
+        )
         losses.append(float(loss))
     first = np.mean(losses[:5])
     last = np.mean(losses[-5:])
