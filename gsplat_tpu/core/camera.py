@@ -77,14 +77,21 @@ def make_camera(
     scale: float = 1.0,
     image_name: str = "",
     uid: int = 0,
+    data_device: str = "tpu",
 ) -> Camera:
-    """Build the precomputed-matrix camera (reference src/scene/camera.cpp:20-72)."""
+    """Build the precomputed-matrix camera (reference src/scene/camera.cpp:20-72).
+
+    data_device: 'tpu' puts the ground-truth image in HBM; 'cpu' keeps it as host
+    numpy (upstream's --data_device cpu for large scenes) — jit argument transfer
+    moves it per step instead."""
     world_view = get_world2view_2(R, T, trans, scale).T
     proj = get_projection_matrix(ZNEAR, ZFAR, fovx, fovy).T
-    full_proj = world_view @ proj
     cam_center = np.linalg.inv(world_view)[3, :3]
+    full_proj = world_view @ proj
     if image is not None:
-        image = jnp.asarray(np.clip(image, 0.0, 1.0), jnp.float32)
+        image = np.clip(image, 0.0, 1.0).astype(np.float32)
+        if data_device != "cpu":
+            image = jnp.asarray(image)
     return Camera(
         world_view=jnp.asarray(world_view, jnp.float32),
         full_proj=jnp.asarray(full_proj, jnp.float32),
@@ -139,6 +146,7 @@ def load_camera(
     scale: float = 1.0,
     pad_to: Optional[Tuple[int, int]] = None,
     white_background: bool = False,
+    data_device: str = "tpu",
 ) -> Camera:
     """CameraInfo -> Camera with image decode/rescale (upstream loadCam; the
     reference's load_camera is a no-op stub, src/utils/camera_utils.cpp:3).
@@ -169,6 +177,7 @@ def load_camera(
         scale=scale,
         image_name=info.image_name,
         uid=info.uid,
+        data_device=data_device,
     )
 
 

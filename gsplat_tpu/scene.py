@@ -100,12 +100,14 @@ class Scene:
         for scale in resolution_scales:
             self.train_cameras[scale] = [
                 load_camera(c, model.resolution, scale,
-                            white_background=model.white_background)
+                            white_background=model.white_background,
+                            data_device=model.data_device)
                 for c in info.train_cameras
             ]
             self.test_cameras[scale] = [
                 load_camera(c, model.resolution, scale,
-                            white_background=model.white_background)
+                            white_background=model.white_background,
+                            data_device=model.data_device)
                 for c in info.test_cameras
             ]
 

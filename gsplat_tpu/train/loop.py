@@ -144,6 +144,12 @@ def make_train_step(
     return train_step
 
 
+@functools.partial(jax.jit, static_argnames=("tile_size", "chunk", "pair_budget"))
+def eval_render(g, cam, bg, *, tile_size, chunk, pair_budget):
+    return render(cam, g, bg, tile_size=tile_size, chunk=chunk,
+                  pair_budget=pair_budget).image
+
+
 @functools.partial(jax.jit, static_argnames=("lambda_dssim", "tile_size", "chunk", "pair_budget"))
 def eval_step(g, cam, bg, *, lambda_dssim, tile_size, chunk, pair_budget):
     out = render(cam, g, bg, tile_size=tile_size, chunk=chunk, pair_budget=pair_budget)
@@ -213,6 +219,16 @@ def train(
     low_usage_streak = 0
 
     metrics = MetricsLogger(model.model_path)
+
+    # live viewer on the reference's ip/port flags (parsed-but-unused there;
+    # src/arguments/params.h:110-111) — best-effort, silent on port conflicts
+    viewer = None
+    if not other.quiet:
+        from gsplat_tpu.viewer import ViewerServer
+
+        viewer = ViewerServer(out_dir, other.ip, other.port)
+        if viewer.url:
+            printer.print(f"viewer: {viewer.url}")
     rng = jax.random.PRNGKey(0)
     cam_order: List[int] = []
     ema_loss = jnp.zeros((), jnp.float32)
@@ -328,6 +344,13 @@ def train(
             if iteration % progress_every == 0:
                 rate = progress_every / max(time.time() - t0, 1e-9)
                 t0 = time.time()
+                if viewer is not None and viewer.url:
+                    pv = eval_render(
+                        g, train_cams[0], bg,
+                        tile_size=mesh.tile_size, chunk=mesh.chunk_size,
+                        pair_budget=mesh.pair_budget,
+                    )
+                    viewer.publish(np.asarray(pv))
                 printer.print(
                     f"iter {iteration}/{opt.iterations} loss {float(loss):.5f} "
                     f"ema {float(ema_loss):.5f} gaussians {int(g.n_live)} "
@@ -362,6 +385,8 @@ def train(
         raise
     finally:
         metrics.close()
+        if viewer is not None:
+            viewer.close()
     return g, scene
 
 
