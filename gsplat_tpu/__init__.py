@@ -20,4 +20,23 @@ from gsplat_tpu.config import (  # noqa: F401
     PipelineParams,
     OtherParams,
     MeshParams,
+    parse_parameters,
 )
+
+
+def __getattr__(name):
+    # lazy: importing the package must not pull in jax (CLI tools set jax
+    # config before first jax import)
+    if name == "render":
+        from gsplat_tpu.render.render import render
+        return render
+    if name == "train":
+        from gsplat_tpu.train.loop import train
+        return train
+    if name == "Scene":
+        from gsplat_tpu.scene import Scene
+        return Scene
+    if name == "Gaussians":
+        from gsplat_tpu.core.gaussians import Gaussians
+        return Gaussians
+    raise AttributeError(name)

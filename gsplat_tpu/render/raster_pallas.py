@@ -135,14 +135,29 @@ def _mm(a, b):
     return _dg(a, b, 1, 0)
 
 
-def _cumsum0(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive cumsum along axis 0 as a lower-triangular matmul (MXU; Mosaic has
-    no cumsum lowering)."""
-    c = x.shape[0]
+def _tri(c: int, dtype) -> jnp.ndarray:
     row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    tri = (row >= col).astype(x.dtype)
-    return _mm(tri, x)
+    return (row >= col).astype(dtype)
+
+
+def _cumsum0(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum along axis 0 as lower-triangular matmuls (MXU; Mosaic has
+    no cumsum lowering). Hierarchical: 32-row triangular blocks + sequential
+    carry — the tri matmul cost is O(block * pixels) per pair, so 32-wide blocks
+    cost 4x less than one 128-wide tri."""
+    c = x.shape[0]
+    sub = 32
+    if c <= sub or c % sub != 0:
+        return _mm(_tri(c, x.dtype), x)
+    tri = _tri(sub, x.dtype)
+    blocks = []
+    carry = jnp.zeros((1, x.shape[1]), x.dtype)
+    for i in range(c // sub):
+        blk = _mm(tri, x[i * sub:(i + 1) * sub, :]) + carry
+        blocks.append(blk)
+        carry = blk[sub - 1:sub, :]
+    return jnp.concatenate(blocks, axis=0)
 
 
 def _fwd_kernel(
