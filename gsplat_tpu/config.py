@@ -55,7 +55,13 @@ class OptimizationParams:
 
 @dataclass
 class PipelineParams:
-    """Reference `PipelineParams` (src/arguments/params.h:93-106)."""
+    """Reference `PipelineParams` (src/arguments/params.h:93-106).
+
+    convert_SHs_python / compute_cov3D_python toggle WHERE upstream computes
+    SH colors and 3D covariances (Python vs inside the CUDA rasterizer). In this
+    framework both always happen in jnp/XLA ahead of the Pallas kernels, so the
+    flags are accepted for CLI compatibility and are semantically no-ops;
+    `debug` maps to NaN-checking (like --detect_anomaly)."""
 
     convert_SHs_python: bool = False
     compute_cov3D_python: bool = False
@@ -107,21 +113,25 @@ def build_arg_parser() -> argparse.ArgumentParser:
     (src/arguments/params.cpp:9-66): every field becomes ``--<name>``; bools are
     store_true flags; int lists are multitoken."""
     p = argparse.ArgumentParser(prog="gsplat-tpu", description=__doc__)
+    # upstream short aliases (arguments/__init__.py in upstream 3DGS)
+    shorts = {"source_path": "-s", "model_path": "-m", "resolution": "-r",
+              "images": "-i", "white_background": "-w"}
     for group_cls in PARAM_GROUPS:
         grp = p.add_argument_group(group_cls.__name__)
         for f in dataclasses.fields(group_cls):
             name = f"--{f.name}"
+            extra = [shorts[f.name]] if f.name in shorts else []
             default = f.default if f.default is not dataclasses.MISSING else f.default_factory()  # type: ignore[misc]
             if f.type in ("bool", bool):
-                grp.add_argument(name, action="store_true", default=default)
+                grp.add_argument(name, *extra, action="store_true", default=default)
             elif f.type in ("List[int]", List[int]):
-                grp.add_argument(name, nargs="*", type=int, default=default)
+                grp.add_argument(name, *extra, nargs="*", type=int, default=default)
             elif f.type in ("int", int):
-                grp.add_argument(name, type=int, default=default)
+                grp.add_argument(name, *extra, type=int, default=default)
             elif f.type in ("float", float):
-                grp.add_argument(name, type=float, default=default)
+                grp.add_argument(name, *extra, type=float, default=default)
             else:
-                grp.add_argument(name, type=str, default=default)
+                grp.add_argument(name, *extra, type=str, default=default)
     return p
 
 
