@@ -131,3 +131,25 @@ def test_full_train_driver_spmd(tmp_path):
     )
     g, scene = train(model, opt, PipelineParams(), other, mesh)
     assert int(g.n_live) > 0
+
+
+def test_global_camera_batch_feeds_spmd_step():
+    """dist.data: globally-sharded camera batch (make_array_from_process_local_data)
+    drives the SPMD step to the same result as host-stacked cameras."""
+    from gsplat_tpu.dist.data import global_camera_batch, replicate_gaussians
+
+    mesh = make_mesh(data=4, tile=2, devices=jax.devices()[:8])
+    g, cams = scene(n_cams=4, seed=5)
+    bg = jnp.zeros(3)
+    opt = OptimizationParams()
+    opt_state = init_adam_state(g.params())
+    step_fn = make_spmd_train_step(mesh, opt, MP, 1.0, W, H, interpret=True)
+
+    g_rep = replicate_gaussians(mesh, g)
+    batch = global_camera_batch(mesh, cams)
+    g1, _, loss1, _ = step_fn(g_rep, opt_state, batch, bg, jnp.asarray(1, jnp.int32))
+
+    stacked = stack_cameras(cams)
+    g2, _, loss2, _ = step_fn(g, opt_state, stacked, bg, jnp.asarray(1, jnp.int32))
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1.xyz), np.asarray(g2.xyz), atol=1e-7)
