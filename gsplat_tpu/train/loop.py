@@ -297,7 +297,7 @@ def train(
                 low_usage_streak = 0
             elif int(n_pairs) * 4 < pair_budget and pair_budget > mesh.pair_budget:
                 low_usage_streak += 1
-                if low_usage_streak >= 200:
+                if low_usage_streak >= 20:  # 20 checks x 10 iters = 200 iterations
                     pair_budget //= 2
                     printer.print(
                         f"[iter {iteration}] pair budget shrink -> {pair_budget}"

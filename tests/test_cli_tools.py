@@ -63,3 +63,29 @@ def test_metrics_cli(trained_model):
     assert results[key]["n_images"] == 1
     assert results[key]["PSNR"] is not None and results[key]["PSNR"] > 0
     assert 0.0 <= results[key]["SSIM"] <= 1.0
+
+
+def test_checkpoint_resume(trained_model, tmp_path):
+    """--checkpoint_iterations + --start_checkpoint exact-resume (the reference
+    stubs the load, train_utils.cpp:110-113)."""
+    scene_root, out = trained_model
+    from gsplat_tpu.cli import main
+
+    out2 = tmp_path / "resume"
+    main([
+        "--source_path", str(scene_root), "--model_path", str(out2),
+        "--eval", "--iterations", "4", "--capacity", "64",
+        "--pair_budget", "4096", "--chunk_size", "32",
+        "--checkpoint_iterations", "4", "--save_iterations", "99", "--quiet",
+    ])
+    ck = out2 / "chkpnt4.npz"
+    assert ck.exists()
+
+    out3 = tmp_path / "resumed"
+    main([
+        "--source_path", str(scene_root), "--model_path", str(out3),
+        "--eval", "--iterations", "8", "--capacity", "64",
+        "--pair_budget", "4096", "--chunk_size", "32",
+        "--start_checkpoint", str(ck), "--save_iterations", "8", "--quiet",
+    ])
+    assert (out3 / "point_cloud" / "iteration_8" / "point_cloud.ply").exists()
