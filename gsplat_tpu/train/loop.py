@@ -308,39 +308,10 @@ def train(
             else:
                 low_usage_streak = 0
 
-            # --- densification (upstream schedule; reference params.h:50-91) ---
-            if iteration < opt.densify_until_iter:
-                if (
-                    iteration > opt.densify_from_iter
-                    and iteration % opt.densification_interval == 0
-                ):
-                    max_screen = 20.0 if iteration > opt.opacity_reset_interval else 0.0
-                    rng, sub = jax.random.split(rng)
-                    g, opt_state, dropped = densify_and_prune(
-                        g, opt_state, sub,
-                        max_grad=opt.densify_grad_threshold,
-                        min_opacity=0.005,
-                        extent=scene.cameras_extent,
-                        max_screen_size=max_screen,
-                        percent_dense=opt.percent_dense,
-                    )
-                    dropped = int(dropped)
-                    n_live = int(g.n_live)
-                    if dropped > 0 or n_live > 0.9 * g.capacity:
-                        new_cap = g.capacity * 2
-                        printer.print(
-                            f"[iter {iteration}] growing capacity {g.capacity} -> {new_cap} "
-                            f"(live {n_live}, dropped {dropped})"
-                        )
-                        g = grow_capacity(g, new_cap)
-                        opt_state = _grow_opt_state(opt_state, new_cap)
-
-                if iteration % opt.opacity_reset_interval == 0 or (
-                    model.white_background and iteration == opt.densify_from_iter
-                ):
-                    g, opt_state = reset_opacity(g, opt_state)
-
-            # --- logging / eval / save (the only steady-path host syncs) ---
+            # --- logging / eval / save / checkpoint FIRST (upstream order:
+            # training_report runs before densify/reset within an iteration, so
+            # an eval or save landing on an opacity-reset iteration sees the
+            # pre-reset model) ---
             if iteration % progress_every == 0:
                 rate = progress_every / max(time.time() - t0, 1e-9)
                 t0 = time.time()
@@ -375,6 +346,38 @@ def train(
             if iteration in other.checkpoint_iterations:
                 printer.print(f"[iter {iteration}] saving checkpoint")
                 save_checkpoint(Path(out_dir) / f"chkpnt{iteration}.npz", g, opt_state, iteration)
+
+            # --- densification (upstream schedule; reference params.h:50-91) ---
+            if iteration < opt.densify_until_iter:
+                if (
+                    iteration > opt.densify_from_iter
+                    and iteration % opt.densification_interval == 0
+                ):
+                    max_screen = 20.0 if iteration > opt.opacity_reset_interval else 0.0
+                    rng, sub = jax.random.split(rng)
+                    g, opt_state, dropped = densify_and_prune(
+                        g, opt_state, sub,
+                        max_grad=opt.densify_grad_threshold,
+                        min_opacity=0.005,
+                        extent=scene.cameras_extent,
+                        max_screen_size=max_screen,
+                        percent_dense=opt.percent_dense,
+                    )
+                    dropped = int(dropped)
+                    n_live = int(g.n_live)
+                    if dropped > 0 or n_live > 0.9 * g.capacity:
+                        new_cap = g.capacity * 2
+                        printer.print(
+                            f"[iter {iteration}] growing capacity {g.capacity} -> {new_cap} "
+                            f"(live {n_live}, dropped {dropped})"
+                        )
+                        g = grow_capacity(g, new_cap)
+                        opt_state = _grow_opt_state(opt_state, new_cap)
+
+                if iteration % opt.opacity_reset_interval == 0 or (
+                    model.white_background and iteration == opt.densify_from_iter
+                ):
+                    g, opt_state = reset_opacity(g, opt_state)
 
     except KeyboardInterrupt:
         # interrupt recovery (SURVEY.md §5 'Failure detection' row): persist an
