@@ -66,7 +66,13 @@ def _gather_pairs_bwd(pair_budget, res, d_t):
     S = jnp.concatenate(
         [jnp.zeros((1, attr_dim), d_t.dtype), jnp.cumsum(d_rows, axis=0)], axis=0
     )
-    d_live = S[cum] - S[offsets]  # (N, 16) per-Gaussian accumulated gradients
+    # offsets[g] == cum[g-1] (contiguous ordered segments), so ONE boundary
+    # gather + an adjacent diff replaces gathering S at both offsets and cum
+    # (row gathers cost ~28ns/row on v5e — this saves a full N-row gather)
+    T_b = S[cum]                  # (N, 16)
+    d_live = T_b - jnp.concatenate(
+        [jnp.zeros((1, attr_dim), d_t.dtype), T_b[:-1]], axis=0
+    )
     d_attrs = jnp.concatenate(
         [d_live, jnp.zeros((n_rows - d_live.shape[0], attr_dim), d_t.dtype)], axis=0
     )
