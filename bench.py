@@ -65,9 +65,7 @@ def build_scene(n, width, height, seed=0, target_pairs_per_gaussian=4.0):
         scaling=jnp.asarray(
             pad(np.full((n, 3), math.log(sigma), np.float32), -30.0)
         ),
-        rotation=jnp.asarray(
-            pad(np.tile(np.array([[1, 0, 0, 0]], np.float32), (n, 1)))
-        ),
+        rotation=jnp.asarray(np.tile(np.array([[1, 0, 0, 0]], np.float32), (cap, 1))),
         max_radii2D=jnp.zeros(cap, jnp.float32),
         xyz_gradient_accum=jnp.zeros(cap, jnp.float32),
         denom=jnp.zeros(cap, jnp.float32),

@@ -75,7 +75,12 @@ class Gaussians:
         return jnp.exp(self.scaling)
 
     def get_rotation(self) -> jnp.ndarray:
-        return self.rotation / jnp.linalg.norm(self.rotation, axis=-1, keepdims=True)
+        # normalize via clamped rsqrt: jnp.linalg.norm's VJP divides by the
+        # primal norm BEFORE any downstream clamp, so an all-zero quaternion row
+        # poisons gradients with 0/0 (eps semantics follow upstream
+        # torch.nn.functional.normalize)
+        sq = jnp.sum(self.rotation * self.rotation, axis=-1, keepdims=True)
+        return self.rotation * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
 
     def get_xyz(self) -> jnp.ndarray:
         return self.xyz

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,7 +24,8 @@ def build_rotation(q: jnp.ndarray) -> jnp.ndarray:
 
     Reference: src/utils/general_utils.cpp:12-40.
     """
-    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    # clamped-rsqrt normalization: linalg.norm's VJP is singular at 0
+    q = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, axis=-1, keepdims=True), 1e-12))
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     r00 = 1 - 2 * (y * y + z * z)
     r01 = 2 * (x * y - w * z)

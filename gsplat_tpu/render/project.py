@@ -163,7 +163,9 @@ def project_gaussians(
         rgb = override_color
     else:
         dirs = xyz - cam.cam_center[None, :]
-        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+        dirs = dirs * jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(dirs * dirs, axis=-1, keepdims=True), 1e-16)
+        )
         rgb = sh_to_rgb_color(g.active_sh_degree, g.get_features(), dirs)
 
     opacity = jnp.where(visible, g.get_opacity()[:, 0], 0.0)

@@ -2,6 +2,7 @@
 image sizes, tile sizes, chunk sizes, and Gaussian populations (incl. degenerate
 radii, off-screen splats, and non-tile-multiple resolutions)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -64,3 +65,27 @@ def test_all_gaussians_behind_camera():
     # nothing renders (either culled or off-screen): bg everywhere OR tiny alpha
     ref = np.asarray(render_reference(cam, g, bg, tile_size=16))
     np.testing.assert_allclose(img, ref, atol=3e-5)
+
+
+def test_zero_quaternion_rows_do_not_poison_gradients():
+    """linalg.norm's VJP is singular at 0: an all-zero quaternion row (user data
+    or a buggy pad) must yield finite gradients everywhere."""
+    from gsplat_tpu.train.loss import l1_loss
+
+    rng = np.random.default_rng(11)
+    g = create_from_pcd(rng.normal(size=(12, 3)) * 0.5, rng.random((12, 3)),
+                        capacity=16)
+    g = g.replace(rotation=g.rotation.at[3].set(0.0))
+    R, T = look_at_rig(1)[0]
+    cam = make_camera(R, T, fovx=0.9, fovy=0.7, width=48, height=32)
+    bg = jnp.zeros(3)
+    target = jnp.asarray(rng.random((32, 48, 3)), jnp.float32)
+
+    def loss_fn(params):
+        out = render(cam, g.with_params(params), bg, tile_size=16, chunk=8,
+                     pair_budget=1 << 10)
+        return l1_loss(out.image, target)
+
+    gr = jax.grad(loss_fn)(g.params())
+    for k, v in gr.items():
+        assert not bool(jnp.isnan(v).any()), k
