@@ -37,7 +37,8 @@ def gt_scene(n, seed=0):
         (pts[: n // 2] + 1) / 2,                     # position-coded colors
         rng.random((n - n // 2, 3)),
     ])
-    g = create_from_pcd(pts, colors, capacity=1 << 13)
+    cap = 1 << max(13, int(np.ceil(np.log2(n + 1))))
+    g = create_from_pcd(pts, colors, capacity=cap)
     # make them solid
     g = g.replace(
         opacity=jnp.where(g.live_mask[:, None], 2.0, g.opacity),
