@@ -94,6 +94,10 @@ def make_spmd_train_step(
     Call with (g, opt_state, cams, bg, step) where `cams` is a stacked Camera
     batch of exactly mesh.shape['data'] cameras (shard its leaves with
     NamedSharding(mesh, P('data')) for multi-host arrays).
+
+    Tip: device_put the initial (g, opt_state) with dist.data.replicate_gaussians
+    first — otherwise jit compiles twice (once for unsharded cold inputs, once
+    for the mesh-sharded steady state the step itself produces).
     """
     n_data = mesh.shape[DATA_AXIS]
     n_tile = mesh.shape[TILE_AXIS]
