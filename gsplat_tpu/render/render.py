@@ -174,12 +174,14 @@ def render_reference(
     g: Gaussians,
     bg: jnp.ndarray,
     *,
-    tile_size: int = 16,
+    tile_size: int = 32,
     scaling_modifier: float = 1.0,
     override_color: Optional[jnp.ndarray] = None,
     mean2d_offset: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Oracle render (pure jnp per-pixel compositor; tests/tiny scenes only)."""
+    """Oracle render (pure jnp per-pixel compositor; tests/tiny scenes only).
+    tile_size must match the Pallas path being compared: a Gaussian covers
+    pixels by tile rectangle, so coverage semantics depend on it."""
     from gsplat_tpu.render.raster_ref import composite_reference
 
     proj = project_gaussians(
