@@ -27,8 +27,12 @@ from gsplat_tpu.train.optim import AdamState
 
 
 def save_checkpoint(
-    path: str | Path, g: Gaussians, opt_state: AdamState, step: int
+    path: str | Path, g: Gaussians, opt_state: AdamState, step: int,
+    extra: dict | None = None,
 ) -> None:
+    """`extra`: driver-loop state for bit-exact resume (RNG key, camera-order
+    cursor, EMA loss, pair budget, ...) stored under `extra_*` keys; read back
+    with load_checkpoint_extras."""
     n = int(g.n_live)
     crop = lambda a: np.asarray(a)[:n]
     arrays = {
@@ -36,6 +40,7 @@ def save_checkpoint(
         "active_sh_degree": np.asarray(g.active_sh_degree, np.int64),
         "max_sh_degree": np.asarray(g.max_sh_degree, np.int64),
         "spatial_lr_scale": np.asarray(g.spatial_lr_scale, np.float64),
+        "capacity": np.asarray(g.capacity, np.int64),
         "xyz": crop(g.xyz),
         "f_dc": crop(g.f_dc),
         "f_rest": crop(g.f_rest),
@@ -51,9 +56,18 @@ def save_checkpoint(
         arrays[f"mu_{k}"] = crop(v)
     for k, v in opt_state.nu.items():
         arrays[f"nu_{k}"] = crop(v)
+    for k, v in (extra or {}).items():
+        arrays[f"extra_{k}"] = np.asarray(v)
     p = Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
     np.savez(p, **arrays)
+
+
+def load_checkpoint_extras(path: str | Path) -> dict:
+    """Driver-loop resume state saved via save_checkpoint(extra=...); {} for
+    checkpoints written without it (backward compatible)."""
+    z = np.load(path)
+    return {k[len("extra_"):]: z[k] for k in z.files if k.startswith("extra_")}
 
 
 def load_checkpoint(
@@ -66,7 +80,10 @@ def load_checkpoint(
 
     z = np.load(path)
     n = len(z["xyz"])
-    cap = max(capacity, _next_pow2(n))
+    saved_cap = int(z["capacity"]) if "capacity" in z.files else 0
+    # restore the exact capacity the run had grown to (bit-exact resume: densify
+    # overflow/drop behavior depends on it), never below the requested floor
+    cap = max(capacity, saved_cap, _next_pow2(n))
     pad = _pad_rows(cap)
     zpad = lambda a: jnp.concatenate(
         [jnp.asarray(a, jnp.float32),

@@ -158,10 +158,14 @@ def make_spmd_train_step(
         new_params, new_opt_state = adam_update(params, pgrads, opt_state, lrs)
         g_new = g.with_params(new_params)
 
-        # batch-accumulated densification stats (sum of per-view norms, max radii)
+        # batch-accumulated densification stats (sum of per-view norms, max radii).
+        # The loss is pmean'd over the camera batch, so each view's screen-space
+        # offset gradient comes back scaled by 1/n_data; undo that so the
+        # accumulated per-view grad norms match upstream single-camera semantics
+        # (densify_grad_threshold stays 2e-4) regardless of mesh shape.
         for i in range(n_data):
             g_new = add_densification_stats(
-                g_new, off_grads[i], radii[i], width, height
+                g_new, off_grads[i] * float(n_data), radii[i], width, height
             )
         return g_new, new_opt_state, loss, jnp.sum(n_dropped)
 

@@ -32,7 +32,7 @@ class _CCamera(ctypes.Structure):
         ("model_id", ctypes.c_int32),
         ("width", ctypes.c_uint64),
         ("height", ctypes.c_uint64),
-        ("params", ctypes.c_double * 8),
+        ("params", ctypes.c_double * 12),
         ("num_params", ctypes.c_int32),
     ]
 

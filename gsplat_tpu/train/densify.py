@@ -102,12 +102,14 @@ def densify_and_prune(
 
     opacity_act = jax.nn.sigmoid(g.opacity[:, 0])
     prune_mask = opacity_act < min_opacity
-    if max_screen_size > 0:
-        prune_mask = (
-            prune_mask
-            | (g.max_radii2D > max_screen_size)
-            | (max_scale > 0.1 * extent)
-        )
+    # upstream gates the size-prune on max_screen_size being set; expressed as a
+    # traced predicate so max_screen_size (0.0 <-> 20.0 across the opacity-reset
+    # boundary) does not force a recompile of the jitted pass
+    size_prune_on = jnp.asarray(max_screen_size) > 0
+    prune_mask = prune_mask | (
+        size_prune_on
+        & ((g.max_radii2D > max_screen_size) | (max_scale > 0.1 * extent))
+    )
     keep_mask = live & ~prune_mask & ~split_mask  # split sources are pruned
 
     # --- candidate list: [kept | clones | split0 | split1], each CAP long ---
@@ -204,3 +206,11 @@ def reset_opacity(
     mu["opacity"] = jnp.zeros_like(mu["opacity"])
     nu["opacity"] = jnp.zeros_like(nu["opacity"])
     return g.replace(opacity=new_op), AdamState(mu=mu, nu=nu, count=opt_state.count)
+
+
+# Jitted entry points for the training loop: one compiled program per capacity
+# (shapes key the jit cache); the scalar knobs (max_grad, extent, max_screen_size,
+# ...) are traced so schedule-driven changes don't recompile. ~50 eager dispatches
+# per densify event otherwise — expensive on a tunneled TPU (VERDICT r1 weak #5).
+densify_and_prune_jit = jax.jit(densify_and_prune)
+reset_opacity_jit = jax.jit(reset_opacity)

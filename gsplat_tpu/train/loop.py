@@ -26,7 +26,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gsplat_tpu.ckpt import load_checkpoint, save_checkpoint, save_ply
+from gsplat_tpu.ckpt import (
+    load_checkpoint,
+    load_checkpoint_extras,
+    save_checkpoint,
+    save_ply,
+)
 from gsplat_tpu.config import (
     MeshParams,
     ModelParams,
@@ -42,8 +47,8 @@ from gsplat_tpu.render.render import render
 from gsplat_tpu.scene import Scene
 from gsplat_tpu.train.densify import (
     add_densification_stats,
-    densify_and_prune,
-    reset_opacity,
+    densify_and_prune_jit,
+    reset_opacity_jit,
 )
 from gsplat_tpu.train.loss import photometric_loss, psnr
 from gsplat_tpu.train.metrics import MetricsLogger
@@ -184,8 +189,10 @@ def train(
 
     opt_state = init_adam_state(g.params())
     first_iter = 0
+    resume_extras: dict = {}
     if other.start_checkpoint:
         g, opt_state, first_iter = load_checkpoint(other.start_checkpoint, mesh.capacity)
+        resume_extras = load_checkpoint_extras(other.start_checkpoint)
         printer.print(f"Restored checkpoint {other.start_checkpoint} at iter {first_iter}")
 
     bg = jnp.asarray(
@@ -195,6 +202,8 @@ def train(
     train_cams = scene.get_train_cameras()
     w, h = train_cams[0].width, train_cams[0].height
     pair_budget = mesh.pair_budget
+    if "pair_budget" in resume_extras:  # resume with the grown budget, no re-ramp
+        pair_budget = max(pair_budget, int(resume_extras["pair_budget"]))
     n_mesh_dev = mesh.data_axis * mesh.tile_axis
     spmd = n_mesh_dev > 1
     if spmd:
@@ -232,6 +241,37 @@ def train(
     rng = jax.random.PRNGKey(0)
     cam_order: List[int] = []
     ema_loss = jnp.zeros((), jnp.float32)
+    # bit-exact resume: restore every loop-level RNG/cursor the step sequence
+    # depends on (VERDICT r1 item 7) — the JAX key, the python `random` state
+    # driving camera shuffles, the un-consumed camera order, EMA, streak
+    if resume_extras:
+        import pickle
+
+        if "rng_key" in resume_extras:
+            rng = jnp.asarray(resume_extras["rng_key"])
+        if "cam_order" in resume_extras:
+            cam_order = [int(i) for i in resume_extras["cam_order"]]
+        if "ema_loss" in resume_extras:
+            ema_loss = jnp.asarray(resume_extras["ema_loss"], jnp.float32)
+        if "low_usage_streak" in resume_extras:
+            low_usage_streak = int(resume_extras["low_usage_streak"])
+        if "py_random" in resume_extras:
+            random.setstate(pickle.loads(resume_extras["py_random"].tobytes()))
+
+    def loop_extras() -> dict:
+        import pickle
+
+        return {
+            "rng_key": np.asarray(rng),
+            "ema_loss": np.asarray(ema_loss, np.float32),
+            "pair_budget": np.asarray(pair_budget, np.int64),
+            "cam_order": np.asarray(cam_order, np.int64),
+            "low_usage_streak": np.asarray(low_usage_streak, np.int64),
+            "py_random": np.frombuffer(
+                pickle.dumps(random.getstate()), np.uint8
+            ).copy(),
+        }
+
     t0 = time.time()
     iteration = first_iter
 
@@ -343,10 +383,6 @@ def train(
                     g,
                 )
 
-            if iteration in other.checkpoint_iterations:
-                printer.print(f"[iter {iteration}] saving checkpoint")
-                save_checkpoint(Path(out_dir) / f"chkpnt{iteration}.npz", g, opt_state, iteration)
-
             # --- densification (upstream schedule; reference params.h:50-91) ---
             if iteration < opt.densify_until_iter:
                 if (
@@ -355,13 +391,13 @@ def train(
                 ):
                     max_screen = 20.0 if iteration > opt.opacity_reset_interval else 0.0
                     rng, sub = jax.random.split(rng)
-                    g, opt_state, dropped = densify_and_prune(
+                    g, opt_state, dropped = densify_and_prune_jit(
                         g, opt_state, sub,
-                        max_grad=opt.densify_grad_threshold,
-                        min_opacity=0.005,
-                        extent=scene.cameras_extent,
-                        max_screen_size=max_screen,
-                        percent_dense=opt.percent_dense,
+                        max_grad=jnp.float32(opt.densify_grad_threshold),
+                        min_opacity=jnp.float32(0.005),
+                        extent=jnp.float32(scene.cameras_extent),
+                        max_screen_size=jnp.float32(max_screen),
+                        percent_dense=jnp.float32(opt.percent_dense),
                     )
                     dropped = int(dropped)
                     n_live = int(g.n_live)
@@ -377,14 +413,23 @@ def train(
                 if iteration % opt.opacity_reset_interval == 0 or (
                     model.white_background and iteration == opt.densify_from_iter
                 ):
-                    g, opt_state = reset_opacity(g, opt_state)
+                    g, opt_state = reset_opacity_jit(g, opt_state)
+
+            # checkpoint LAST within the iteration (upstream train.py order:
+            # after densify + optimizer step) so resume at iteration+1 is exact
+            if iteration in other.checkpoint_iterations:
+                printer.print(f"[iter {iteration}] saving checkpoint")
+                save_checkpoint(
+                    Path(out_dir) / f"chkpnt{iteration}.npz", g, opt_state,
+                    iteration, extra=loop_extras(),
+                )
 
     except KeyboardInterrupt:
         # interrupt recovery (SURVEY.md §5 'Failure detection' row): persist an
         # emergency checkpoint so --start_checkpoint can resume exactly here
         path = Path(out_dir) / f"chkpnt_interrupt_{iteration}.npz"
         printer.print(f"interrupted at iter {iteration}; saving {path}")
-        save_checkpoint(path, g, opt_state, iteration)
+        save_checkpoint(path, g, opt_state, iteration, extra=loop_extras())
         raise
     finally:
         metrics.close()

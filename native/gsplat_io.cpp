@@ -35,7 +35,7 @@ struct ColmapCamera {
   int32_t camera_id;
   int32_t model_id;
   uint64_t width, height;
-  double params[8];  // max params over the 11-model table
+  double params[12];  // sized to the true max of kCameraModelNumParams (FULL_OPENCV / THIN_PRISM_FISHEYE = 12)
   int32_t num_params;
 };
 
@@ -314,9 +314,18 @@ struct Loader {
   std::mutex mu;
   std::condition_variable cv;
   std::unordered_map<int, std::unique_ptr<float[]>> ready;
+  // queued-or-decoding request count per index: loader_get waits on these
+  // instead of decoding a duplicate (which would orphan the worker's copy in
+  // `ready` forever, since get() erases on fetch)
+  std::unordered_map<int, int> pending;
   std::deque<int> queue;
   std::vector<std::thread> workers;
   bool stop = false;
+
+  void finish_pending(int idx) {  // call with mu held
+    auto p = pending.find(idx);
+    if (p != pending.end() && --p->second == 0) pending.erase(p);
+  }
 
   void worker() {
     for (;;) {
@@ -327,7 +336,11 @@ struct Loader {
         if (stop) return;
         idx = queue.front();
         queue.pop_front();
-        if (ready.count(idx)) continue;
+        if (ready.count(idx)) {
+          finish_pending(idx);
+          cv.notify_all();
+          continue;
+        }
       }
       std::unique_ptr<float[]> buf(new float[frame_elems]);
       if (decode_image_f32(paths[idx].c_str(), w, h, bg, buf.get()) != 0)
@@ -335,6 +348,7 @@ struct Loader {
       {
         std::lock_guard<std::mutex> lk(mu);
         ready[idx] = std::move(buf);
+        finish_pending(idx);
       }
       cv.notify_all();
     }
@@ -359,21 +373,30 @@ extern "C" Loader* loader_create(const char** paths, int n, int w, int h, const 
 extern "C" void loader_prefetch(Loader* L, const int* indices, int n) {
   {
     std::lock_guard<std::mutex> lk(L->mu);
-    for (int i = 0; i < n; ++i) L->queue.push_back(indices[i]);
+    for (int i = 0; i < n; ++i) {
+      L->queue.push_back(indices[i]);
+      L->pending[indices[i]]++;
+    }
   }
   L->cv.notify_all();
 }
 
-// Blocking fetch: returns the frame (decoding inline if not prefetched) and
-// drops it from the cache (each epoch re-prefetches).
+// Blocking fetch: returns the frame and drops it from the cache (each epoch
+// re-prefetches). If the frame is queued or mid-decode, waits for the worker
+// instead of decoding a duplicate; only truly un-requested indices decode
+// inline on the calling thread.
 extern "C" int loader_get(Loader* L, int idx, float* out) {
   {
     std::unique_lock<std::mutex> lk(L->mu);
-    auto it = L->ready.find(idx);
-    if (it != L->ready.end()) {
-      memcpy(out, it->second.get(), L->frame_elems * sizeof(float));
-      L->ready.erase(it);
-      return 0;
+    for (;;) {
+      auto it = L->ready.find(idx);
+      if (it != L->ready.end()) {
+        memcpy(out, it->second.get(), L->frame_elems * sizeof(float));
+        L->ready.erase(it);
+        return 0;
+      }
+      if (!L->pending.count(idx) || L->stop) break;
+      L->cv.wait(lk);
     }
   }
   return decode_image_f32(L->paths[idx].c_str(), L->w, L->h, L->bg, out);

@@ -79,7 +79,7 @@ def main():
     from gsplat_tpu.core.camera import make_camera
     from gsplat_tpu.core.gaussians import create_from_pcd
     from gsplat_tpu.render.render import render
-    from gsplat_tpu.train.densify import densify_and_prune, reset_opacity
+    from gsplat_tpu.train.densify import densify_and_prune_jit
     from gsplat_tpu.train.loop import make_train_step
     from gsplat_tpu.train.loss import psnr
     from gsplat_tpu.train.optim import init_adam_state
@@ -136,10 +136,11 @@ def main():
         if it < opt.densify_until_iter and it > opt.densify_from_iter \
                 and it % opt.densification_interval == 0:
             key, sub = jax.random.split(key)
-            g, opt_state, _ = densify_and_prune(
-                g, opt_state, sub, max_grad=opt.densify_grad_threshold,
-                min_opacity=0.005, extent=3.5, max_screen_size=0.0,
-                percent_dense=opt.percent_dense,
+            g, opt_state, _ = densify_and_prune_jit(
+                g, opt_state, sub, max_grad=jnp.float32(opt.densify_grad_threshold),
+                min_opacity=jnp.float32(0.005), extent=jnp.float32(3.5),
+                max_screen_size=jnp.float32(0.0),
+                percent_dense=jnp.float32(opt.percent_dense),
             )
         if it % 100 == 0:
             print(f"iter {it} loss {float(loss):.4f} gaussians {int(g.n_live)} "

@@ -34,7 +34,10 @@ def scene(n_cams, seed=0):
 
 
 def reference_batch_step(g, opt_state, cams, bg, step, opt):
-    """Single-device math: mean loss over the camera batch, one Adam step."""
+    """Single-device math: mean loss over the camera batch, one Adam step, and
+    upstream per-view densification stats (each view's UN-averaged screen grad)."""
+    from gsplat_tpu.train.densify import add_densification_stats
+
     lr_fns = make_lr_fns(opt, 1.0)
 
     def loss_fn(params):
@@ -52,7 +55,25 @@ def reference_batch_step(g, opt_state, cams, bg, step, opt):
     loss, grads = jax.value_and_grad(loss_fn)(g.params())
     lrs = current_lrs(lr_fns, step)
     new_params, new_state = adam_update(g.params(), grads, opt_state, lrs)
-    return g.with_params(new_params), new_state, loss
+    g_new = g.with_params(new_params)
+
+    # upstream semantics: stats accumulate each view's own (not batch-averaged)
+    # viewspace gradient — one render+grad per camera
+    def view_off_grad(cam):
+        off0 = jnp.zeros((g.capacity, 2), jnp.float32)
+
+        def f(off):
+            out = render(cam, g, bg, tile_size=MP.tile_size, chunk=MP.chunk_size,
+                         pair_budget=MP.pair_budget, mean2d_offset=off)
+            return photometric_loss(out.image, cam.image, opt.lambda_dssim), out.radii
+
+        grad, radii = jax.grad(f, has_aux=True)(off0)
+        return grad, radii
+
+    for cam in cams:
+        og, radii = view_off_grad(cam)
+        g_new = add_densification_stats(g_new, og, radii, cam.width, cam.height)
+    return g_new, new_state, loss
 
 
 @pytest.mark.parametrize("mesh_shape", [(4, 2), (8, 1), (2, 2)])
@@ -82,6 +103,16 @@ def test_spmd_step_matches_single_device(mesh_shape):
     )
     np.testing.assert_allclose(
         np.asarray(st_s.mu["opacity"]), np.asarray(st_r.mu["opacity"]), atol=1e-6
+    )
+    # densification stats must match upstream single-camera magnitudes
+    # regardless of mesh shape (ADVICE r1: off_grads arrive pmean-scaled)
+    np.testing.assert_allclose(
+        np.asarray(g_s.xyz_gradient_accum), np.asarray(g_r.xyz_gradient_accum),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(np.asarray(g_s.denom), np.asarray(g_r.denom))
+    np.testing.assert_allclose(
+        np.asarray(g_s.max_radii2D), np.asarray(g_r.max_radii2D), atol=1e-5
     )
 
 
