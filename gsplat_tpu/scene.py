@@ -69,8 +69,12 @@ class Scene:
 
         scene_type = detect_scene_type(model.source_path)
         if scene_type == "colmap":
+            # images load lazily: _predecode_images_native fills them through the
+            # native worker pool (at target resolution) when the C library is
+            # built; load_camera PIL-decodes any camera left unfilled
             info: SceneInfo = read_colmap_scene_info(
-                model.source_path, images=model.images, eval_split=model.eval
+                model.source_path, images=model.images, eval_split=model.eval,
+                load_images=False,
             )
         else:
             info = read_blender_scene_info(
@@ -97,6 +101,11 @@ class Scene:
         self.cameras_extent = float(info.nerf_normalization["radius"])
         self.train_cameras: Dict[float, List[Camera]] = {}
         self.test_cameras: Dict[float, List[Camera]] = {}
+        if len(resolution_scales) == 1:
+            _predecode_images_native(
+                info.train_cameras + info.test_cameras,
+                model.resolution, resolution_scales[0], model.white_background,
+            )
         for scale in resolution_scales:
             self.train_cameras[scale] = [
                 load_camera(c, model.resolution, scale,
@@ -137,6 +146,40 @@ class Scene:
 
     def get_test_cameras(self, scale: float = 1.0) -> List[Camera]:
         return self.test_cameras[scale]
+
+
+def _predecode_images_native(infos, resolution, resolution_scale, white_background):
+    """Fill lazy CameraInfo.image slots via the native IO runtime: libjpeg/libpng
+    decode + bilinear resize to the target resolution + RGBA-over-bg compositing
+    in a C worker pool (native/gsplat_io.cpp), grouped by target size. Cameras it
+    cannot decode (unsupported format, corrupt file) stay lazy and fall back to
+    the PIL path in load_camera. No-op when the library is not built."""
+    from gsplat_tpu.core.camera import _scaled_resolution
+    from gsplat_tpu.io import native_loader
+
+    if not native_loader.available():
+        return
+    bg = (1.0, 1.0, 1.0) if white_background else (0.0, 0.0, 0.0)
+    groups: Dict[tuple, list] = {}
+    for c in infos:
+        if c.image is not None or not c.image_path.lower().endswith(
+            (".png", ".jpg", ".jpeg")
+        ):
+            continue
+        groups.setdefault(_scaled_resolution(c, resolution, resolution_scale), []).append(c)
+    for (w, h), cams in groups.items():
+        loader = native_loader.PrefetchLoader(
+            [c.image_path for c in cams], w, h, bg=bg, threads=4
+        )
+        try:
+            loader.prefetch(list(range(len(cams))))
+            for i, c in enumerate(cams):
+                try:
+                    c.image = loader.get(i)
+                except IOError:
+                    pass  # leave lazy -> PIL fallback
+        finally:
+            loader.close()
 
 
 def _next_pow2(n: int) -> int:

@@ -21,6 +21,7 @@
 #include <string>
 #include <thread>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 #include <jpeglib.h>
@@ -318,6 +319,7 @@ struct Loader {
   // instead of decoding a duplicate (which would orphan the worker's copy in
   // `ready` forever, since get() erases on fetch)
   std::unordered_map<int, int> pending;
+  std::unordered_set<int> failed;  // decode errors surfaced to loader_get as -2
   std::deque<int> queue;
   std::vector<std::thread> workers;
   bool stop = false;
@@ -343,11 +345,11 @@ struct Loader {
         }
       }
       std::unique_ptr<float[]> buf(new float[frame_elems]);
-      if (decode_image_f32(paths[idx].c_str(), w, h, bg, buf.get()) != 0)
-        memset(buf.get(), 0, frame_elems * sizeof(float));
+      bool ok = decode_image_f32(paths[idx].c_str(), w, h, bg, buf.get()) == 0;
       {
         std::lock_guard<std::mutex> lk(mu);
-        ready[idx] = std::move(buf);
+        if (ok) ready[idx] = std::move(buf);
+        else failed.insert(idx);
         finish_pending(idx);
       }
       cv.notify_all();
@@ -394,6 +396,10 @@ extern "C" int loader_get(Loader* L, int idx, float* out) {
         memcpy(out, it->second.get(), L->frame_elems * sizeof(float));
         L->ready.erase(it);
         return 0;
+      }
+      if (L->failed.count(idx)) {  // worker hit a decode error: caller decides
+        L->failed.erase(idx);
+        return -2;
       }
       if (!L->pending.count(idx) || L->stop) break;
       L->cv.wait(lk);
