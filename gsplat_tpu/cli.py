@@ -31,8 +31,19 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     model, opt, pipe, other, mesh = parse_parameters(argv)
 
-    for p in (model, opt, pipe, other, mesh):
-        print_params(p, out=sys.stdout)
+    # multi-host bootstrap must precede any backend use (SURVEY.md §7 M6)
+    if mesh.num_processes > 1 or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        from gsplat_tpu.dist.mesh import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=mesh.coordinator_address or None,
+            num_processes=mesh.num_processes or None,
+            process_id=mesh.process_id if mesh.process_id >= 0 else None,
+        )
+
+    if jax.process_index() == 0:
+        for p in (model, opt, pipe, other, mesh):
+            print_params(p, out=sys.stdout)
 
     # reference src/train.cpp:30 — always save the final iteration
     if opt.iterations not in other.save_iterations:

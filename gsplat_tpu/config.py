@@ -94,6 +94,12 @@ class MeshParams:
 
     data_axis: int = 1           # camera-batch shards
     tile_axis: int = 1           # intra-image tile shards
+    # multi-host bootstrap (jax.distributed over DCN): leave num_processes at 0
+    # for single-process; on a pod slice launch one process per host with
+    # matching coordinator_address/num_processes and a unique process_id
+    coordinator_address: str = ""
+    num_processes: int = 0
+    process_id: int = -1
     profile_dir: str = ""        # capture a jax.profiler trace into this dir
     profile_steps: int = 10      # steps to trace (starting at iteration 20)
     tile_size: int = 32          # pixels per tile side (32x32: ~45% fewer pairs than 16)

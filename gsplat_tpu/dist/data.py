@@ -64,3 +64,21 @@ def replicate_gaussians(mesh: Mesh, g):
     """Place the Gaussian pytree fully replicated on every device of the mesh."""
     rep = NamedSharding(mesh, P())
     return jax.device_put(g, rep)
+
+
+def shard_gaussians(mesh: Mesh, g, opt_state=None):
+    """Shard every (CAP, ...) leaf of the Gaussian pytree (and optionally the
+    Adam state) over the `data` axis — the memory layout of
+    make_sharded_spmd_train_step. Scalars stay replicated."""
+    row = NamedSharding(mesh, P(DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+    g_sharded = jax.tree.map(
+        lambda x: jax.device_put(x, row if getattr(x, "ndim", 0) >= 1 else rep), g
+    )
+    if opt_state is None:
+        return g_sharded
+    opt_sharded = jax.tree.map(
+        lambda x: jax.device_put(x, row if getattr(x, "ndim", 0) >= 1 else rep),
+        opt_state,
+    )
+    return g_sharded, opt_sharded

@@ -58,6 +58,18 @@ def make_mesh(
     return Mesh(arr, (DATA_AXIS, TILE_AXIS))
 
 
+def local_data_rows(mesh: Mesh) -> list:
+    """Data-axis rows whose devices include at least one addressable device of
+    THIS process — the batch rows a multi-host process must supply to
+    jax.make_array_from_process_local_data (single-process: all rows)."""
+    pid = jax.process_index()
+    rows = []
+    for d in range(mesh.devices.shape[0]):
+        if any(dev.process_index == pid for dev in np.ravel(mesh.devices[d])):
+            rows.append(d)
+    return rows
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

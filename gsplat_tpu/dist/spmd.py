@@ -88,12 +88,19 @@ def make_spmd_train_step(
     width: int,
     height: int,
     interpret: Optional[bool] = None,
+    pair_budget: Optional[int] = None,
 ) -> Callable:
     """Build the jitted multi-device train step.
 
-    Call with (g, opt_state, cams, bg, step) where `cams` is a stacked Camera
-    batch of exactly mesh.shape['data'] cameras (shard its leaves with
-    NamedSharding(mesh, P('data')) for multi-host arrays).
+    Call with (g, opt_state, cams, bg, step, ema) where `cams` is a stacked
+    Camera batch of exactly mesh.shape['data'] cameras (shard its leaves with
+    NamedSharding(mesh, P('data')) for multi-host arrays). Returns
+    (g, opt_state, loss, ema, n_pairs, n_dropped) — the same signature as the
+    single-device step so the driver's adaptive pair budget and EMA logging
+    work identically on a mesh; n_pairs is the MAX over device bands (budget
+    sizing must cover the worst shard), n_dropped the total.
+
+    pair_budget overrides mp.pair_budget (the driver resizes it adaptively).
 
     Tip: device_put the initial (g, opt_state) with dist.data.replicate_gaussians
     first — otherwise jit compiles twice (once for unsharded cold inputs, once
@@ -103,6 +110,7 @@ def make_spmd_train_step(
     n_tile = mesh.shape[TILE_AXIS]
     band_h = _band_height(height, n_tile, mp.tile_size)
     lr_fns = make_lr_fns(opt, spatial_lr_scale)
+    budget = pair_budget if pair_budget is not None else mp.pair_budget
 
     cam_spec = Camera(
         world_view=P(DATA_AXIS), full_proj=P(DATA_AXIS), cam_center=P(DATA_AXIS),
@@ -118,7 +126,7 @@ def make_spmd_train_step(
         out = render(
             cam, g2, bg,
             tile_size=mp.tile_size, chunk=mp.chunk_size,
-            pair_budget=mp.pair_budget,
+            pair_budget=budget,
             mean2d_offset=offsets[0],
             interpret=interpret,
             region=(ti * band_h, band_h),
@@ -129,13 +137,20 @@ def make_spmd_train_step(
         loss = photometric_loss(full, cam.image, opt.lambda_dssim)
         loss = jax.lax.pmean(loss, (DATA_AXIS, TILE_AXIS))
         # block-leading dims so out_specs concatenate to (n_data, ...) / (n_data, n_tile)
-        return loss, (out.radii[None], out.visible[None], out.n_dropped.reshape(1, 1))
+        return loss, (
+            out.radii[None], out.visible[None],
+            out.n_dropped.reshape(1, 1), out.n_pairs.reshape(1, 1),
+        )
 
     smapped = shard_map(
         device_loss,
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P(), cam_spec, P()),
-        out_specs=(P(), (P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS, TILE_AXIS))),
+        out_specs=(
+            P(),
+            (P(DATA_AXIS), P(DATA_AXIS),
+             P(DATA_AXIS, TILE_AXIS), P(DATA_AXIS, TILE_AXIS)),
+        ),
         check_vma=False,
     )
 
@@ -146,13 +161,16 @@ def make_spmd_train_step(
         cams: Camera,
         bg: jnp.ndarray,
         step: jnp.ndarray,
+        ema: jnp.ndarray,
     ):
         params = g.params()
         offsets = jnp.zeros((n_data, g.capacity, 2), jnp.float32)
 
-        (loss, (radii, visible, n_dropped)), (pgrads, off_grads) = jax.value_and_grad(
-            lambda p, o: smapped(p, o, g, cams, bg), argnums=(0, 1), has_aux=True
-        )(params, offsets)
+        (loss, (radii, visible, n_dropped, n_pairs)), (pgrads, off_grads) = (
+            jax.value_and_grad(
+                lambda p, o: smapped(p, o, g, cams, bg), argnums=(0, 1), has_aux=True
+            )(params, offsets)
+        )
 
         lrs = current_lrs(lr_fns, step)
         new_params, new_opt_state = adam_update(params, pgrads, opt_state, lrs)
@@ -167,7 +185,162 @@ def make_spmd_train_step(
             g_new = add_densification_stats(
                 g_new, off_grads[i] * float(n_data), radii[i], width, height
             )
-        return g_new, new_opt_state, loss, jnp.sum(n_dropped)
+        new_ema = jnp.where(step <= 1, loss, 0.4 * loss + 0.6 * ema)
+        return (
+            g_new, new_opt_state, loss, new_ema,
+            jnp.max(n_pairs), jnp.sum(n_dropped),
+        )
+
+    return train_step
+
+
+def make_sharded_spmd_train_step(
+    mesh: Mesh,
+    opt: OptimizationParams,
+    mp: MeshParams,
+    spatial_lr_scale: float,
+    width: int,
+    height: int,
+    interpret: Optional[bool] = None,
+    pair_budget: Optional[int] = None,
+) -> Callable:
+    """Sharded-Gaussian SPMD step for large N (SURVEY.md §2.2 'Gaussians ...
+    gathered per-tile at large N'; VERDICT r1 item 9).
+
+    Memory layout: Gaussian parameters, densification accumulators AND Adam
+    moments are sharded over the `data` axis (axis 0 of every (CAP, ...) leaf)
+    — ZeRO-3-style, ~177 floats/Gaussian divided by n_data per device instead
+    of replicated. Compute: each device projects ITS shard against EVERY
+    camera of the batch (same total flops as the replicated step), then ONE
+    all_to_all over `data` exchanges the projected 11-float attribute rows so
+    each data column assembles the full attr table for its own camera —
+    3.7x less traffic than all-gathering raw params+SH, and the only
+    collective on the forward path. The all_to_all transpose routes each
+    camera's attr cotangents back to the shard owners, where the projection
+    chain runs backward locally; parameter gradients therefore come out
+    sharded with NO all-reduce over `data` at all.
+
+    Same call signature/returns as make_spmd_train_step; shard the inputs
+    with dist.data.shard_gaussians first. capacity must divide by n_data.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    n_tile = mesh.shape[TILE_AXIS]
+    band_h = _band_height(height, n_tile, mp.tile_size)
+    lr_fns = make_lr_fns(opt, spatial_lr_scale)
+    budget = pair_budget if pair_budget is not None else mp.pair_budget
+
+    from gsplat_tpu.render.project import Projection, project_gaussians
+    from gsplat_tpu.render.render import render_projected
+
+    cam_spec = Camera(
+        world_view=P(), full_proj=P(), cam_center=P(),
+        tan_fovx=P(), tan_fovy=P(), image=P(DATA_AXIS),
+        width=width, height=height, image_name="", uid=0,
+    )
+
+    def g_spec(g: Gaussians):
+        return g.replace(
+            **{k: P(DATA_AXIS) for k in
+               ("xyz", "f_dc", "f_rest", "opacity", "scaling", "rotation",
+                "max_radii2D", "xyz_gradient_accum", "denom")},
+            n_live=P(),
+        )
+
+    def cam_at(cams_blk: Camera, c) -> Camera:
+        take = lambda x: x[c]
+        return Camera(
+            world_view=take(cams_blk.world_view),
+            full_proj=take(cams_blk.full_proj),
+            cam_center=take(cams_blk.cam_center),
+            tan_fovx=take(cams_blk.tan_fovx),
+            tan_fovy=take(cams_blk.tan_fovy),
+            image=None,
+            width=width, height=height, image_name="", uid=0,
+        )
+
+    def device_loss(params, offsets, g, cams_blk, bg):
+        di = jax.lax.axis_index(DATA_AXIS)
+        ti = jax.lax.axis_index(TILE_AXIS)
+        shard_cap = params["xyz"].shape[0]
+        # shard-local live prefix: global rows [di*shard_cap, (di+1)*shard_cap)
+        local_live = jnp.clip(g.n_live - di * shard_cap, 0, shard_cap)
+        g_loc = g.with_params(params).replace(n_live=local_live)
+
+        # project MY shard for EVERY camera -> (n_data, shard_cap, 11)
+        def proj_cols(c):
+            pr = project_gaussians(g_loc, cam_at(cams_blk, c),
+                                   mean2d_offset=offsets[c])
+            return jnp.concatenate(
+                [pr.mean2d, pr.conic, pr.depth[:, None], pr.radius[:, None],
+                 pr.rgb, pr.opacity[:, None]], axis=1,
+            )
+
+        mine = jnp.stack([proj_cols(c) for c in range(n_data)])
+        # exchange: row c of `mine` goes to data column c; received axis 0
+        # indexes the SHARD -> concat is the full table in global-id order
+        full = jax.lax.all_to_all(
+            mine, DATA_AXIS, split_axis=0, concat_axis=0, tiled=True
+        ).reshape(n_data * shard_cap, 11)
+        radius = jax.lax.stop_gradient(full[:, 6])
+        proj = Projection(
+            mean2d=full[:, 0:2], conic=full[:, 2:5], depth=full[:, 5],
+            radius=radius, rgb=full[:, 7:10], opacity=full[:, 10],
+            visible=radius > 0.0,
+        )
+
+        out = render_projected(
+            proj, width, height, bg,
+            tile_size=mp.tile_size, chunk=mp.chunk_size, pair_budget=budget,
+            interpret=interpret, region=(ti * band_h, band_h),
+        )
+        full_img = jax.lax.all_gather(out.image, TILE_AXIS, axis=0, tiled=True)
+        full_img = full_img[:height]
+        loss = photometric_loss(full_img, cams_blk.image[0], opt.lambda_dssim)
+        loss = jax.lax.pmean(loss, (DATA_AXIS, TILE_AXIS))
+        return loss, (
+            out.radii[None], out.visible[None],
+            out.n_dropped.reshape(1, 1), out.n_pairs.reshape(1, 1),
+        )
+
+    def smapped(params, offsets, g, cams, bg):
+        return shard_map(
+            device_loss,
+            mesh=mesh,
+            in_specs=({k: P(DATA_AXIS) for k in params},
+                      P(None, DATA_AXIS), g_spec(g), cam_spec, P()),
+            out_specs=(
+                P(),
+                (P(DATA_AXIS), P(DATA_AXIS),
+                 P(DATA_AXIS, TILE_AXIS), P(DATA_AXIS, TILE_AXIS)),
+            ),
+            check_vma=False,
+        )(params, offsets, g, cams, bg)
+
+    @jax.jit
+    def train_step(g, opt_state, cams, bg, step, ema):
+        assert g.capacity % n_data == 0, (g.capacity, n_data)
+        params = g.params()
+        offsets = jnp.zeros((n_data, g.capacity, 2), jnp.float32)
+
+        (loss, (radii, visible, n_dropped, n_pairs)), (pgrads, off_grads) = (
+            jax.value_and_grad(
+                lambda p, o: smapped(p, o, g, cams, bg), argnums=(0, 1),
+                has_aux=True,
+            )(params, offsets)
+        )
+
+        lrs = current_lrs(lr_fns, step)
+        new_params, new_opt_state = adam_update(params, pgrads, opt_state, lrs)
+        g_new = g.with_params(new_params)
+        for i in range(n_data):
+            g_new = add_densification_stats(
+                g_new, off_grads[i] * float(n_data), radii[i], width, height
+            )
+        new_ema = jnp.where(step <= 1, loss, 0.4 * loss + 0.6 * ema)
+        return (
+            g_new, new_opt_state, loss, new_ema,
+            jnp.max(n_pairs), jnp.sum(n_dropped),
+        )
 
     return train_step
 
@@ -179,27 +352,36 @@ def make_spmd_eval_step(
     width: int,
     height: int,
     interpret: Optional[bool] = None,
+    pair_budget: Optional[int] = None,
 ) -> Callable:
-    """Tile-band-parallel single-camera eval: returns (loss, psnr, image)."""
+    """Tile-band-parallel single-camera eval: returns (loss, psnr, image,
+    n_dropped). Pass the driver's CURRENT (grown) pair_budget — eval with the
+    base budget silently degrades PSNR on dense scenes (VERDICT r1 weak #4)."""
     n_tile = mesh.shape[TILE_AXIS]
     band_h = _band_height(height, n_tile, mp.tile_size)
+    budget = pair_budget if pair_budget is not None else mp.pair_budget
 
     def device_eval(g, cam, bg):
         ti = jax.lax.axis_index(TILE_AXIS)
         out = render(
             cam, g, bg,
             tile_size=mp.tile_size, chunk=mp.chunk_size,
-            pair_budget=mp.pair_budget, interpret=interpret,
+            pair_budget=budget, interpret=interpret,
             region=(ti * band_h, band_h),
         )
         full = jax.lax.all_gather(out.image, TILE_AXIS, axis=0, tiled=True)[:height]
-        return photometric_loss(full, cam.image, lambda_dssim), psnr(full, cam.image), full
+        return (
+            photometric_loss(full, cam.image, lambda_dssim),
+            psnr(full, cam.image),
+            full,
+            jax.lax.psum(out.n_dropped, TILE_AXIS),
+        )
 
     smapped = shard_map(
         device_eval,
         mesh=mesh,
         in_specs=(P(), P(), P()),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(smapped)

@@ -4,17 +4,23 @@ TPU-native replacement for the CUDA duplicate+radix-sort stage of upstream 3DGS
 (absent in the reference; SURVEY.md §7 hard part 2). Design:
 
 1. Per-Gaussian tile rectangles -> per-Gaussian pair counts (0 when culled).
-2. Pair expansion WITHOUT scatter: pair slot p finds its Gaussian with a single
-   vectorized `searchsorted` over the inclusive count cumsum; its tile from the
-   rectangle arithmetic. Static `pair_budget` slots; overflow pairs are dropped
-   (the live total is returned so the driver can grow the budget and recompile).
+2. Pair expansion WITHOUT scatter: segment-start marks + cumsum recover each
+   pair slot's Gaussian; its tile comes from the rectangle arithmetic. Static
+   `pair_budget` slots; overflow pairs are dropped (the live total is returned
+   so the driver can grow the budget and recompile).
 3. One stable multi-key `lax.sort` by (tile_id, depth) - XLA's native sort rides
    the VPU; ties resolve to Gaussian index order (stable).
-4. Chunk-aligned padded layout: every tile's segment is padded up to a multiple of
-   `chunk` and scattered into a `padded_budget`-sized index array whose default
-   entry is the null Gaussian (capacity row, inert by construction). This makes the
-   Pallas kernel grid a dense 1-D sweep of (chunk, tile) blocks with *static* block
-   maps - no atomics, no dynamic shapes (SURVEY.md §7 M2).
+4. COMPACT layout (round-2 redesign): the sorted array itself is the kernel
+   input — per-tile segments [tile_start, tile_start+tile_count) are NOT
+   aligned or padded. The Pallas kernels DMA the chunk-aligned superset of each
+   segment and mask the head/tail rows (reading a neighbor tile's rows is
+   harmless — they are masked to alpha 0). This removes the whole padded-slot
+   index plumbing (two pair-budget-sized maps, one scatter, three gathers) that
+   cost ~55 ms/step at 1M Gaussians @1080p in round 1. Only the BACKWARD
+   output gets per-tile chunk-aligned regions (`out_start`, sized by
+   `out_budget`) so no two tiles ever write the same chunk; each d-row carries
+   its own Gaussian-id sort key (attr row 9) so the gradient segment-reduction
+   is a single key sort + cumsum-diff, with no padded->expansion map.
 """
 
 from __future__ import annotations
@@ -26,13 +32,12 @@ import jax.numpy as jnp
 
 
 class Binning(NamedTuple):
-    padded_gid: jnp.ndarray   # (padded_budget,) int32 Gaussian index; N_null when empty
-    padded_eid: jnp.ndarray   # (padded_budget,) int32 expansion index; pair_budget when empty
-    gauss_offsets: jnp.ndarray  # (N,) int32 exclusive pair-count cumsum (expansion order)
+    gid_s: jnp.ndarray        # (pair_budget,) int32 sorted Gaussian ids; N when empty
+    gauss_offsets: jnp.ndarray  # (N,) int32 exclusive pair-count cumsum
     gauss_cum: jnp.ndarray    # (N,) int32 inclusive pair-count cumsum
-    tile_start: jnp.ndarray   # (num_tiles,) int32 chunk-aligned pair offset per tile
-    tile_chunks: jnp.ndarray  # (num_tiles,) int32 number of chunks per tile
+    tile_start: jnp.ndarray   # (num_tiles,) int32 UNALIGNED pair offset per tile
     tile_count: jnp.ndarray   # (num_tiles,) int32 live pairs per tile
+    out_start: jnp.ndarray    # (num_tiles,) int32 chunk-aligned bwd output offset
     n_pairs: jnp.ndarray      # () int32 total live pairs (for budget monitoring)
     n_dropped: jnp.ndarray    # () int32 pairs dropped by budget overflow
 
@@ -41,6 +46,12 @@ def tile_grid(width: int, height: int, tile_size: int) -> Tuple[int, int]:
     tw = -(-width // tile_size)
     th = -(-height // tile_size)
     return tw, th
+
+
+def out_budget(pair_budget: int, num_tiles: int, chunk: int) -> int:
+    """Static size of the backward d-array: every tile's aligned chunk range
+    can exceed its live count by head (< chunk) + tail padding (< chunk)."""
+    return pair_budget + 2 * chunk * num_tiles
 
 
 def tile_rects(
@@ -66,15 +77,16 @@ def bin_gaussians(
     chunk: int,
     pair_budget: int,
 ) -> Binning:
-    """Build the sorted, chunk-aligned (Gaussian, tile) pair layout.
+    """Build the sorted compact (Gaussian, tile) pair layout + per-tile tables.
 
     All inputs should be stop-gradient'ed by the caller (binning is integer-valued;
-    gradients flow through the later gather instead).
+    gradients flow through the attribute gather instead). pair_budget must be a
+    multiple of `chunk` (the kernels DMA chunk-aligned supersets of segments).
     """
+    assert pair_budget % chunk == 0, (pair_budget, chunk)
     n = mean2d.shape[0]
     tw, th = tile_grid(width, height, tile_size)
     num_tiles = tw * th
-    padded_budget = _padded_budget(pair_budget, num_tiles, chunk)
 
     x0, y0, x1, y1 = tile_rects(mean2d, radius, tw, th, tile_size)
     rect_w = jnp.maximum(x1 - x0, 0)
@@ -111,49 +123,29 @@ def bin_gaussians(
     ).astype(jnp.float32)
     pair_gid = jnp.where(valid, gid_c, n).astype(jnp.int32)
 
-    # eidx rides along so the backward pass can map padded slots -> expansion
-    # order (where pairs are grouped contiguously by Gaussian)
-    tile_s, _, gid_s, eidx_s = jax.lax.sort(
-        (tile, pair_depth, pair_gid, p), num_keys=2, is_stable=True
+    tile_s, _, gid_s = jax.lax.sort(
+        (tile, pair_depth, pair_gid), num_keys=2, is_stable=True
     )
 
-    # per-tile segment boundaries on the sorted array
+    # per-tile segment boundaries on the sorted array (tiny: num_tiles-sized)
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(tile_s, tids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(tile_s, tids, side="right").astype(jnp.int32)
     tile_count = ends - starts
-    padded_count = -(-tile_count // chunk) * chunk
-    padded_cum = jnp.cumsum(padded_count)
-    padded_start = padded_cum - padded_count
-
-    # padded slot -> sorted position by GATHER (a pair_budget-sized scatter here
-    # costs ~2x more than this marks+cumsum+row-gather construction on TPU)
-    q = jnp.arange(padded_budget, dtype=jnp.int32)
-    tmarks = jnp.zeros(padded_budget, jnp.int32).at[padded_start].add(1, mode="drop")
-    tile_q = jnp.clip(jnp.cumsum(tmarks) - 1, 0, num_tiles - 1)
-    ttbl = jnp.stack([starts, padded_start, tile_count], axis=1)  # (num_tiles, 3)
-    tq = ttbl[tile_q]                                             # (padded_budget, 3)
-    rank_q = q - tq[:, 1]
-    valid_q = rank_q < tq[:, 2]
-    p_src = jnp.clip(tq[:, 0] + rank_q, 0, pair_budget - 1)
-    src_cols = jnp.stack([gid_s, eidx_s], axis=1)[p_src]  # one fused row-gather
-    padded_gid = jnp.where(valid_q, src_cols[:, 0], n).astype(jnp.int32)
-    padded_eid = jnp.where(valid_q, src_cols[:, 1], pair_budget).astype(jnp.int32)
+    # backward output regions: one aligned span per tile covering the same
+    # chunk count the kernel sweeps (head + count, rounded up)
+    head = starts % chunk
+    nch = -(-(head + tile_count) // chunk)
+    out_sizes = nch * chunk
+    out_start = (jnp.cumsum(out_sizes) - out_sizes).astype(jnp.int32)
 
     return Binning(
-        padded_gid=padded_gid,
-        padded_eid=padded_eid,
+        gid_s=gid_s,
         gauss_offsets=offsets,
         gauss_cum=cum,
-        tile_start=padded_start,
-        tile_chunks=padded_count // chunk,
+        tile_start=starts,
         tile_count=tile_count,
+        out_start=out_start,
         n_pairs=jnp.minimum(total, pair_budget),
         n_dropped=n_dropped,
     )
-
-
-def _padded_budget(pair_budget: int, num_tiles: int, chunk: int) -> int:
-    """Static worst case: every tile wastes up to chunk-1 slots on alignment."""
-    raw = pair_budget + num_tiles * (chunk - 1)
-    return -(-raw // chunk) * chunk

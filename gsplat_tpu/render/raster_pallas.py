@@ -5,14 +5,21 @@ TPU-native replacement for upstream's CUDA `diff-gaussian-rasterization` tile lo
 
 - The kernel grid is the TILE GRID: one program per image tile. Each program
   streams its tile's sorted (Gaussian,tile) pair rows from HBM in chunk-sized
-  blocks with double-buffered async DMA (offsets come from scalar-prefetched
-  per-tile segment tables built by `render.binning`), composites front-to-back in
-  VMEM, and early-exits the whole tile once transmittance saturates — upstream's
+  blocks with double-buffered async DMA, composites front-to-back in VMEM, and
+  early-exits the whole tile once transmittance saturates — upstream's
   per-pixel early-out applied at chunk granularity.
-- Pair attributes live TRANSPOSED in HBM as (16, P): Mosaic requires DMA slices to
-  be 128-lane-aligned in the minor dimension, so the sliced axis must be the pair
-  axis (chunk is a multiple of 128 on hardware); it also puts per-pair rows on
-  the full 128-lane VPU instead of wasting 112/128 lanes.
+- COMPACT pair layout (round-2 redesign): tile segments in the sorted pair
+  array are NOT chunk-aligned. Each program DMAs the chunk-aligned superset
+  [align_down(start), align_up(start+count)) and masks rows outside its own
+  segment (they belong to neighbor tiles; masking zeroes their alpha AND their
+  gradients). This removes every pair-budget-sized padded-layout map from the
+  XLA graph — ~120 ms/step of gathers and scatters at 1M Gaussians @1080p.
+- Pair attributes live TRANSPOSED in HBM as (16, P): Mosaic requires DMA slices
+  to be 128-lane-aligned in the minor dimension (chunk % 128 == 0 on hardware),
+  and it puts per-pair rows on the full 128-lane VPU. Row 9 carries the pair's
+  GAUSSIAN ID (int32 bits in an f32 row): the backward kernel copies it through
+  (masked rows get KEY_INVALID) so every d-row carries its own segment-sort key
+  and per-Gaussian gradient reduction outside is one `lax.sort` + cumsum-diff.
 - The per-pair/per-pixel Gaussian evaluation is MXU-shaped: power(pair,pixel) is
   a bilinear form U(8,pair)^T @ V(8,pixel) where V = [px^2, py^2, px*py, px, py, 1]
   in TILE-LOCAL pixel coordinates (local coords keep the f32 cancellation error
@@ -22,15 +29,16 @@ TPU-native replacement for upstream's CUDA `diff-gaussian-rasterization` tile lo
 - The backward kernel re-sweeps the same chunks front-to-back, reconstructing
   per-pair transmittance and the prefix of color-dot-cotangent sums;
   dL/d{mean2d, conic, rgb, opacity} per pair chains through dU = V @ dpower^T
-  (MXU again) and is DMA'd back to this tile's own segment of the d_attrs array —
-  each pair is owned by exactly one tile, so there are NO write conflicts and no
-  atomics (TPUs have none; SURVEY.md §7 hard part 1). Per-Gaussian gradient
-  accumulation happens outside via the autodiff transpose of the binning gather
-  (an XLA scatter-add / segment-sum).
+  (MXU again) and is DMA'd to this tile's OWN chunk-aligned region of the
+  d array (`out_start` table) — no two tiles write the same chunk, so there are
+  NO write conflicts and no atomics (TPUs have none; SURVEY.md §7 hard part 1).
 
 Attr row layout (16 rows x P pairs):
   0 mean_x | 1 mean_y | 2 conic_a | 3 conic_b | 4 conic_c | 5..7 rgb | 8 opacity |
-  9..15 zero padding.
+  9 gid bits | 10..15 zero padding.
+d-row layout (16 rows x P_out):
+  0 d_mean_x | 1 d_mean_y | 2..4 d_conic | 5..7 d_rgb | 8 d_opacity |
+  9 key bits (gid, or KEY_INVALID for masked rows) | 10..15 zero.
 """
 
 from __future__ import annotations
@@ -40,7 +48,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -48,10 +55,16 @@ ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1e-4
 ATTR_DIM = 16
+# The gid sort key rides attr/d row 9 as an ordinary f32 VALUE (exact for
+# ids < 2^24). Storing raw int bits there instead would make small gids
+# DENORMAL float patterns, which TPU float paths flush to zero — scrambling
+# the gradient segment sort. KEY_INVALID sorts after every real id.
+KEY_INVALID = float(1 << 30)
 
 
 def pack_attrs(mean2d, conic, rgb, opacity) -> jnp.ndarray:
-    """(N,2),(N,3),(N,3),(N,) -> (N,16) attribute rows (differentiable)."""
+    """(N,2),(N,3),(N,3),(N,) -> (N,16) attribute rows (differentiable).
+    Row 9 (gid bits) is filled by the gather in render.rasterize, not here."""
     n = mean2d.shape[0]
     pad = jnp.zeros((n, ATTR_DIM - 9), jnp.float32)
     return jnp.concatenate(
@@ -105,16 +118,33 @@ def _op_column(a):
     return _dg(a, e8, 0, 0)  # (chunk, 1)
 
 
-def _alphas_from_power(power, op_col):
-    """Upstream alpha masking: skip power>0, clamp at 0.99, zero below 1/255.
-    power (chunk, npix); op_col (chunk, 1). Returns (alpha, chain_mask, G)."""
+def _valid_column(j, head, count, chunk):
+    """(chunk, 1) f32 mask: 1 for rows of THIS tile's segment, 0 for the masked
+    head/tail rows of the aligned superset (neighbor tiles' pairs)."""
+    idx = j * chunk + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    ok = (idx >= head) & (idx < head + count)
+    return ok.astype(jnp.float32)
+
+
+def _valid_row(j, head, count, chunk):
+    """Same mask as _valid_column but (1, chunk) — lane-oriented, for masking
+    the (1, chunk) key row without any in-kernel transpose."""
+    idx = j * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    return (idx >= head) & (idx < head + count)
+
+
+def _alphas_from_power(power, op_col, valid_col):
+    """Upstream alpha masking: skip power>0, clamp at 0.99, zero below 1/255;
+    rows outside the tile's segment are masked to alpha 0 (and grad-chain 0).
+    power (chunk, npix); op_col/valid_col (chunk, 1)."""
     G = jnp.exp(jnp.minimum(power, 0.0))
     raw = op_col * G  # broadcast (chunk,1) * (chunk,npix)
     ok = (power <= 0.0) & (raw >= ALPHA_MIN) & (raw <= ALPHA_MAX)
     alpha = jnp.where(
         ok, raw, jnp.where((power <= 0.0) & (raw > ALPHA_MAX), ALPHA_MAX, 0.0)
     )
-    return alpha, ok.astype(jnp.float32), G
+    alpha = alpha * valid_col
+    return alpha, ok.astype(jnp.float32) * valid_col, G
 
 
 def _dg(a, b, ca, cb):
@@ -160,21 +190,30 @@ def _cumsum0(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(blocks, axis=0)
 
 
+def _seg(ts_ref, tc_ref, i, chunk):
+    """Per-tile segment -> (aligned DMA base, head offset, count, chunk count)."""
+    s = ts_ref[i]
+    c = tc_ref[i]
+    astart = pl.multiple_of((s // chunk) * chunk, chunk)
+    head = s - astart
+    nch = (head + c + chunk - 1) // chunk
+    return astart, head, c, nch
+
+
 def _fwd_kernel(
-    ts_ref, tc_ref, attrs_hbm, out_ref, buf, sems, *, tw: int, tile_size: int, chunk: int
+    ts_ref, tc_ref, os_ref, attrs_hbm, out_ref, buf, sems,
+    *, tw: int, tile_size: int, chunk: int,
 ):
     npix = tile_size * tile_size
     i = pl.program_id(0)
-    # binning guarantees chunk-aligned segment starts; chunk % 128 == 0 on hardware
-    start = pl.multiple_of(ts_ref[i], chunk)
-    nch = tc_ref[i]
+    astart, head, count, nch = _seg(ts_ref, tc_ref, i, chunk)
     ox = ((i % tw) * tile_size).astype(jnp.float32)
     oy = ((i // tw) * tile_size).astype(jnp.float32)
     V = _pixel_basis(tile_size)
 
     def dma(slot, j):
         return pltpu.make_async_copy(
-            attrs_hbm.at[:, pl.ds(start + j * chunk, chunk)], buf.at[slot], sems.at[slot]
+            attrs_hbm.at[:, pl.ds(astart + j * chunk, chunk)], buf.at[slot], sems.at[slot]
         )
 
     @pl.when(nch > 0)
@@ -197,7 +236,8 @@ def _fwd_kernel(
         a = buf[slot]                     # (16, chunk)
         U, _, _, _, _, _, _ = _chunk_U(a, ox, oy)
         power = _dg(U, V, 0, 0)           # (chunk, npix)
-        alpha, _, _ = _alphas_from_power(power, _op_column(a))
+        valid = _valid_column(j, head, count, chunk)
+        alpha, _, _ = _alphas_from_power(power, _op_column(a), valid)
 
         lg = jnp.log1p(-alpha)
         cum = _cumsum0(lg)
@@ -222,14 +262,20 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    ts_ref, tc_ref, attrs_hbm, res_ref, g_ref, d_hbm, ibuf, obuf, isems, osems,
-    *, tw: int, tile_size: int, chunk: int,
+    ts_ref, tc_ref, os_ref, attrs_hbm, res_ref, g_ref, d_init_hbm, d_hbm,
+    ibuf, obuf, isems, osems, *, tw: int, tile_size: int, chunk: int,
 ):
+    # d_init_hbm is aliased to d_hbm (input_output_aliases): the caller
+    # pre-fills d with zeros + KEY_INVALID keys so the rows no tile writes
+    # (the region tail past the last tile, plus any unused budget) hold inert
+    # keys instead of UNINITIALIZED HBM — on hardware, garbage bytes there can
+    # alias real Gaussian ids and corrupt the sort-reduction (interpret mode
+    # zero-fills buffers, so CPU parity cannot catch this).
+    del d_init_hbm
     npix = tile_size * tile_size
     i = pl.program_id(0)
-    # binning guarantees chunk-aligned segment starts; chunk % 128 == 0 on hardware
-    start = pl.multiple_of(ts_ref[i], chunk)
-    nch = tc_ref[i]
+    astart, head, count, nch = _seg(ts_ref, tc_ref, i, chunk)
+    ostart = pl.multiple_of(os_ref[i], chunk)
     ox = ((i % tw) * tile_size).astype(jnp.float32)
     oy = ((i // tw) * tile_size).astype(jnp.float32)
     V = _pixel_basis(tile_size)
@@ -243,13 +289,13 @@ def _bwd_kernel(
 
     def idma(slot, j):
         return pltpu.make_async_copy(
-            attrs_hbm.at[:, pl.ds(start + j * chunk, chunk)], ibuf.at[slot],
+            attrs_hbm.at[:, pl.ds(astart + j * chunk, chunk)], ibuf.at[slot],
             isems.at[slot],
         )
 
     def odma(slot, j):
         return pltpu.make_async_copy(
-            obuf.at[slot], d_hbm.at[:, pl.ds(start + j * chunk, chunk)], osems.at[slot]
+            obuf.at[slot], d_hbm.at[:, pl.ds(ostart + j * chunk, chunk)], osems.at[slot]
         )
 
     @pl.when(nch > 0)
@@ -271,13 +317,19 @@ def _bwd_kernel(
             odma(slot, j - 2).wait()
 
         a = ibuf[slot]
+        valid = _valid_column(j, head, count, chunk)
+        # every live pair must emit its gid key exactly once — even in chunks
+        # skipped by the saturation early-out (their d rows are zero)
+        key_row = jnp.where(
+            _valid_row(j, head, count, chunk), a[9:10, :], KEY_INVALID
+        )  # (1, chunk) f32 gid values
         alive = jnp.max(t_run) >= T_EPS
 
         def live(_):
             U, mxl, myl, ca, cb, cc, _ = _chunk_U(a, ox, oy)
             op_col = _op_column(a)
             power = _dg(U, V, 0, 0)
-            alpha, chain, G = _alphas_from_power(power, op_col)
+            alpha, chain, G = _alphas_from_power(power, op_col, valid)
             rgb = a[5:8, :]
 
             lg = jnp.log1p(-alpha)
@@ -291,7 +343,6 @@ def _bwd_kernel(
             pref = _cumsum0(wcg) + prefix
             dalpha = t_i * cg - (total_cg - pref + t_final * g_t) / (1.0 - alpha)
             dalpha = dalpha * chain
-
             d_rgb = _dg(g_rgb, w, 1, 1)              # (3, chunk)
             gda = G * dalpha
             d_op = _dg(ones_pix, gda, 1, 1)          # (1, chunk)
@@ -304,9 +355,9 @@ def _bwd_kernel(
             d_mx = ca * du3 + cb * du4 - (ca * mxl + cb * myl) * du5
             d_my = cb * du3 + cc * du4 - (cc * myl + cb * mxl) * du5
 
-            zeros = jnp.zeros((ATTR_DIM - 9, chunk), jnp.float32)
+            zeros = jnp.zeros((ATTR_DIM - 10, chunk), jnp.float32)
             obuf[slot] = jnp.concatenate(
-                [d_mx, d_my, d_a, d_b, d_c, d_rgb, d_op, zeros], axis=0
+                [d_mx, d_my, d_a, d_b, d_c, d_rgb, d_op, key_row, zeros], axis=0
             )
             return (
                 t_run * jnp.exp(jnp.sum(lg, axis=0, keepdims=True)),
@@ -314,7 +365,9 @@ def _bwd_kernel(
             )
 
         def dead(_):
-            obuf[slot] = jnp.zeros((ATTR_DIM, chunk), jnp.float32)
+            zeros9 = jnp.zeros((9, chunk), jnp.float32)
+            ztail = jnp.zeros((ATTR_DIM - 10, chunk), jnp.float32)
+            obuf[slot] = jnp.concatenate([zeros9, key_row, ztail], axis=0)
             return t_run, prefix
 
         new_carry = jax.lax.cond(alive, live, dead, None)
@@ -335,11 +388,11 @@ def _bwd_kernel(
         odma((nch - 2) % 2, nch - 2).wait()
 
 
-def _fwd_call(attrs_t, tile_start, tile_chunks, *, num_tiles, tw, tile_size, chunk,
-              interpret):
+def _fwd_call(attrs_t, tile_start, tile_count, out_start, *, num_tiles, tw,
+              tile_size, chunk, interpret):
     npix = tile_size * tile_size
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -358,22 +411,23 @@ def _fwd_call(attrs_t, tile_start, tile_chunks, *, num_tiles, tw, tile_size, chu
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(tile_start, tile_chunks, attrs_t)
+    )(tile_start, tile_count, out_start, attrs_t)
 
 
-def _bwd_call(attrs_t, tile_start, tile_chunks, res, g, *, num_tiles, tw, tile_size,
-              chunk, interpret):
+def _bwd_call(attrs_t, tile_start, tile_count, out_start, res, g, *, num_tiles,
+              tw, tile_size, chunk, p_out, interpret):
     npix = tile_size * tile_size
     tile_block = pl.BlockSpec(
         (1, 4, npix), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             tile_block,
             tile_block,
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -383,53 +437,50 @@ def _bwd_call(attrs_t, tile_start, tile_chunks, res, g, *, num_tiles, tw, tile_s
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # inert fill: d rows zero, key row KEY_INVALID (see _bwd_kernel note)
+    d_init = jnp.concatenate(
+        [
+            jnp.zeros((9, p_out), jnp.float32),
+            jnp.full((1, p_out), KEY_INVALID, jnp.float32),
+            jnp.zeros((ATTR_DIM - 10, p_out), jnp.float32),
+        ],
+        axis=0,
+    )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, tw=tw, tile_size=tile_size, chunk=chunk),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(attrs_t.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ATTR_DIM, p_out), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
+        # operand index counts the 3 scalar-prefetch args: d_init is operand 6
+        input_output_aliases={6: 0},
         interpret=interpret,
-    )(tile_start, tile_chunks, attrs_t, res, g)
+    )(tile_start, tile_count, out_start, attrs_t, res, g, d_init)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def composite_tiles(attrs_t, tile_start, tile_chunks, static):
-    """attrs_t (16, padded_budget): TRANSPOSED sorted+gathered pair attributes;
-    tile_start/tile_chunks (num_tiles,) int32: per-tile chunk-aligned segment
-    table. -> tiles (num_tiles, 4, npix): rgb accumulation + final transmittance.
-    Tiles with zero pairs come out exactly (0,0,0,T=1).
-
-    `static`: hashable tuple (num_tiles, tw, tile_size, chunk, interpret);
-    chunk must be a multiple of 128 on hardware (DMA lane alignment).
-    """
-    num_tiles, tw, tile_size, chunk, interpret = static
+def composite_fwd(attrs_t, tile_start, tile_count, out_start, *, num_tiles, tw,
+                  tile_size, chunk, interpret):
+    """Forward tile compositing over the COMPACT sorted pair layout.
+    attrs_t (16, pair_budget); per-tile tables (num_tiles,) int32.
+    -> tiles (num_tiles, 4, npix): rgb accumulation + final transmittance.
+    Tiles with zero pairs come out exactly (0,0,0,T=1)."""
     return _fwd_call(
-        attrs_t, tile_start, tile_chunks,
+        attrs_t, tile_start, tile_count, out_start,
         num_tiles=num_tiles, tw=tw, tile_size=tile_size, chunk=chunk,
         interpret=interpret,
     )
 
 
-def _composite_fwd(attrs_t, tile_start, tile_chunks, static):
-    out = composite_tiles(attrs_t, tile_start, tile_chunks, static)
-    return out, (attrs_t, tile_start, tile_chunks, out)
-
-
-def _composite_bwd(static, residuals, g):
-    num_tiles, tw, tile_size, chunk, interpret = static
-    attrs_t, tile_start, tile_chunks, out = residuals
-    d_attrs_t = _bwd_call(
-        attrs_t, tile_start, tile_chunks, out, g,
+def composite_bwd(attrs_t, tile_start, tile_count, out_start, res, g, *,
+                  num_tiles, tw, tile_size, chunk, p_out, interpret):
+    """Backward sweep -> (16, p_out) d-rows in per-tile aligned regions; row 9
+    carries each row's Gaussian-id key (KEY_INVALID on masked/padding rows)."""
+    return _bwd_call(
+        attrs_t, tile_start, tile_count, out_start, res, g,
         num_tiles=num_tiles, tw=tw, tile_size=tile_size, chunk=chunk,
-        interpret=interpret,
+        p_out=p_out, interpret=interpret,
     )
-    zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-    return d_attrs_t, zero_i(tile_start), zero_i(tile_chunks)
-
-
-composite_tiles.defvjp(_composite_fwd, _composite_bwd)
 
 
 def untile_image(tiles: jnp.ndarray, tw: int, th: int, tile_size: int,

@@ -5,14 +5,17 @@ pipe, bg)` returns (image, viewspace point grads hook, visibility filter, radii)
 the capability the reference's PipelineParams hooks anticipate but never implement
 (src/arguments/params.h:93-106, SURVEY.md §1 'missing layer L2.5').
 
-Differentiation strategy (TPU-first):
+Differentiation strategy (TPU-first, round-2 layout):
 - projection / SH / attr packing: plain jnp, autodiff.
 - binning: integer-valued, stop-gradient.
-- per-pair gather: custom VJP (`_gather_pairs_t`) — per-Gaussian gradient
-  accumulation via an expansion-order permutation + cumsum-diff segment
-  reduction (no atomics needed on TPU, and ~2x faster than the XLA scatter-add
-  the autodiff transpose would emit).
-- tile compositing: Pallas kernels behind `composite_tiles`' custom_vjp.
+- gather + tile compositing + per-Gaussian gradient reduction: ONE fused
+  custom_vjp (`_rasterize`). Forward gathers per-pair attributes into the
+  compact sorted layout (each row carrying its Gaussian id in attr row 9) and
+  runs the Pallas forward kernel. Backward runs the Pallas backward kernel —
+  whose d-rows land in per-tile chunk-aligned regions, each carrying its own
+  gid key — then reduces per Gaussian with ONE `lax.sort` by key + a cumsum +
+  segment-boundary difference. No scatter, no padded-layout permutation maps
+  (the round-1 design spent ~120 ms/step on those at 1M Gaussians @1080p).
 """
 
 from __future__ import annotations
@@ -26,61 +29,99 @@ import numpy as np
 
 from gsplat_tpu.core.camera import Camera
 from gsplat_tpu.core.gaussians import Gaussians
-from gsplat_tpu.render.binning import bin_gaussians, tile_grid
-from gsplat_tpu.render.project import project_gaussians
-from gsplat_tpu.render.raster_pallas import composite_tiles, pack_attrs, untile_image
+from gsplat_tpu.render.binning import Binning, bin_gaussians, out_budget, tile_grid
+from gsplat_tpu.render.raster_pallas import (
+    ATTR_DIM,
+    composite_bwd,
+    composite_fwd,
+    pack_attrs,
+    untile_image,
+)
+
+N_DCOLS = 9  # d rows carrying gradients: mean2d(2) conic(3) rgb(3) opacity(1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _gather_pairs_t(attrs, padded_gid, padded_eid, gauss_offsets, gauss_cum,
-                    pair_budget):
-    """Per-pair attribute gather (N+1,16) -> (16, padded_budget), with a
-    hand-written transpose: the autodiff transpose of this gather is a scatter-add
-    over the padded slots (measured 475ms at 4M pairs on v5e); instead we permute
-    the cotangents into EXPANSION order — where pairs are grouped contiguously per
-    Gaussian — and segment-reduce with one cumsum + boundary differences
-    (69 + 125 + 90 ms for the same workload)."""
-    return attrs[padded_gid].T
+def _gather_with_gid(attrs, gid_s):
+    """(N+1,16),(P,) -> (16,P): 9 attribute rows + row 9 = gid as an f32 VALUE
+    (exact below 2^24; raw int bits would be denormals TPU float paths flush
+    to zero) + zeros."""
+    p = gid_s.shape[0]
+    g9 = attrs[:, :N_DCOLS][gid_s]                       # (P, 9) row gather
+    gid_f = gid_s.astype(jnp.float32)[:, None]
+    zeros = jnp.zeros((p, ATTR_DIM - N_DCOLS - 1), jnp.float32)
+    return jnp.concatenate([g9, gid_f, zeros], axis=1).T
 
 
-def _gather_pairs_fwd(attrs, padded_gid, padded_eid, gauss_offsets, gauss_cum,
-                      pair_budget):
-    return (
-        attrs[padded_gid].T,
-        (padded_gid, padded_eid, gauss_offsets, gauss_cum, attrs.shape[0]),
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _rasterize(attrs, gid_s, tile_start, tile_count, out_start, gauss_cum, static):
+    """attrs (N+1,16) differentiable per-Gaussian attributes (row N inert null);
+    binning tables int32 (stop-grad). -> tiles (num_tiles, 4, npix)."""
+    num_tiles, tw, tile_size, chunk, pair_budget, interpret = static
+    gathered_t = _gather_with_gid(attrs, gid_s)
+    return composite_fwd(
+        gathered_t, tile_start, tile_count, out_start,
+        num_tiles=num_tiles, tw=tw, tile_size=tile_size, chunk=chunk,
+        interpret=interpret,
     )
 
 
-def _gather_pairs_bwd(pair_budget, res, d_t):
-    padded_gid, padded_eid, offsets, cum, n_rows = res
-    pad = d_t.shape[1]
-    attr_dim = d_t.shape[0]
-    # expansion slot -> padded slot (a permutation on the valid pairs); slots
-    # with no pair keep `pad`, which indexes the appended zero row below
-    inv_e = jnp.full((pair_budget,), pad, jnp.int32).at[padded_eid].set(
-        jnp.arange(pad, dtype=jnp.int32), mode="drop", unique_indices=True
+def _rasterize_fwd(attrs, gid_s, tile_start, tile_count, out_start, gauss_cum,
+                   static):
+    num_tiles, tw, tile_size, chunk, pair_budget, interpret = static
+    gathered_t = _gather_with_gid(attrs, gid_s)
+    tiles = composite_fwd(
+        gathered_t, tile_start, tile_count, out_start,
+        num_tiles=num_tiles, tw=tw, tile_size=tile_size, chunk=chunk,
+        interpret=interpret,
     )
-    d_rows = jnp.concatenate(
-        [d_t.T, jnp.zeros((1, attr_dim), d_t.dtype)], axis=0
-    )[inv_e]
+    res = (gathered_t, tile_start, tile_count, out_start, gauss_cum,
+           tiles, attrs.shape[0])
+    return tiles, res
+
+
+def _rasterize_bwd(static, res, g):
+    num_tiles, tw, tile_size, chunk, pair_budget, interpret = static
+    gathered_t, tile_start, tile_count, out_start, gauss_cum, tiles, n_rows = res
+    p_out = out_budget(pair_budget, num_tiles, chunk)
+
+    d_t = composite_bwd(
+        gathered_t, tile_start, tile_count, out_start, tiles, g,
+        num_tiles=num_tiles, tw=tw, tile_size=tile_size, chunk=chunk,
+        p_out=p_out, interpret=interpret,
+    )  # (16, p_out); row 9 = per-row gid key, KEY_INVALID on masked/pad rows
+
+    # per-Gaussian reduction: ONE sort by gid key groups every live pair's
+    # d-row contiguously in gid order (== expansion-segment order), then a
+    # cumsum + boundary difference at the per-Gaussian inclusive counts.
+    # The key is the f32 gid value carried in d row 9 (sorts correctly as a
+    # float; masked/unwritten rows carry KEY_INVALID and sort last).
+    sorted_ops = jax.lax.sort(
+        (d_t[N_DCOLS],) + tuple(d_t[i] for i in range(N_DCOLS)), num_keys=1,
+        is_stable=False,
+    )
+    d_sorted = jnp.stack(sorted_ops[1:], axis=1)[:pair_budget]  # (budget, 9)
     S = jnp.concatenate(
-        [jnp.zeros((1, attr_dim), d_t.dtype), jnp.cumsum(d_rows, axis=0)], axis=0
+        [jnp.zeros((1, N_DCOLS), d_sorted.dtype), jnp.cumsum(d_sorted, axis=0)],
+        axis=0,
     )
-    # offsets[g] == cum[g-1] (contiguous ordered segments), so ONE boundary
-    # gather + an adjacent diff replaces gathering S at both offsets and cum
-    # (row gathers cost ~28ns/row on v5e — this saves a full N-row gather)
-    T_b = S[cum]                  # (N, 16)
+    T_b = S[jnp.minimum(gauss_cum, pair_budget)]                # (N, 9)
     d_live = T_b - jnp.concatenate(
-        [jnp.zeros((1, attr_dim), d_t.dtype), T_b[:-1]], axis=0
+        [jnp.zeros((1, N_DCOLS), T_b.dtype), T_b[:-1]], axis=0
     )
     d_attrs = jnp.concatenate(
-        [d_live, jnp.zeros((n_rows - d_live.shape[0], attr_dim), d_t.dtype)], axis=0
+        [d_live, jnp.zeros((n_rows - d_live.shape[0], N_DCOLS), d_live.dtype)],
+        axis=0,
+    )
+    d_attrs = jnp.concatenate(
+        [d_attrs, jnp.zeros((n_rows, ATTR_DIM - N_DCOLS), d_attrs.dtype)], axis=1
     )
     zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-    return d_attrs, zero_i(padded_gid), zero_i(padded_eid), zero_i(offsets), zero_i(cum)
+    return (d_attrs, zero_i(jnp.zeros(gathered_t.shape[1], jnp.int32)),
+            zero_i(tile_start), zero_i(tile_count), zero_i(out_start),
+            zero_i(gauss_cum))
 
 
-_gather_pairs_t.defvjp(_gather_pairs_fwd, _gather_pairs_bwd)
+_rasterize.defvjp(_rasterize_fwd, _rasterize_bwd)
 
 
 class RenderOutput(NamedTuple):
@@ -116,19 +157,46 @@ def render(
     band (the unit of intra-image spatial parallelism; y0 may be traced,
     region_height must be static).
     """
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    width, height = cam.width, cam.height
-    y0 = None
-    if region is not None:
-        y0, height = region
-    tw, th = tile_grid(width, height, tile_size)
-    num_tiles = tw * th
+    from gsplat_tpu.render.project import project_gaussians
 
     proj = project_gaussians(
         g, cam, scaling_modifier=scaling_modifier,
         override_color=override_color, mean2d_offset=mean2d_offset,
     )
+    return render_projected(
+        proj, cam.width, cam.height, bg,
+        tile_size=tile_size, chunk=chunk, pair_budget=pair_budget,
+        interpret=interpret, region=region,
+    )
+
+
+def render_projected(
+    proj,
+    width: int,
+    height: int,
+    bg: jnp.ndarray,
+    *,
+    tile_size: int = 32,
+    chunk: int = 128,
+    pair_budget: int = 1 << 18,
+    interpret: Optional[bool] = None,
+    region: Optional[tuple] = None,
+) -> RenderOutput:
+    """Bin + rasterize a pre-computed `Projection` (render.project.Projection).
+
+    Split out of `render()` so the sharded-Gaussian SPMD step can project each
+    Gaussian shard on its owner device, exchange the (much smaller) projected
+    attributes with all_to_all, and feed the full attr table here."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    y0 = None
+    if region is not None:
+        y0, height = region
+    tw, th = tile_grid(width, height, tile_size)
+    num_tiles = tw * th
+    # the kernels DMA chunk-aligned supersets of segments: budget must align
+    pair_budget = -(-pair_budget // chunk) * chunk
+
     if y0 is not None:
         shift = jnp.stack(
             [jnp.zeros((), jnp.float32), jnp.asarray(y0, jnp.float32)]
@@ -143,19 +211,17 @@ def render(
         chunk=chunk, pair_budget=pair_budget,
     )
 
-    # differentiable per-Gaussian attrs with an inert null row at index N; the
-    # kernel consumes them transposed (16, P) for DMA lane alignment
+    # differentiable per-Gaussian attrs with an inert null row at index N
     attrs = pack_attrs(proj.mean2d, proj.conic, proj.rgb, proj.opacity)
     attrs = jnp.concatenate([attrs, jnp.zeros((1, attrs.shape[1]), attrs.dtype)], axis=0)
-    gathered_t = _gather_pairs_t(
-        attrs, binning.padded_gid, binning.padded_eid,
-        binning.gauss_offsets, binning.gauss_cum, pair_budget,
-    )
 
     if not interpret and chunk % 128 != 0:
         raise ValueError(f"chunk must be a multiple of 128 on TPU, got {chunk}")
-    static = (num_tiles, tw, tile_size, chunk, bool(interpret))
-    tiles = composite_tiles(gathered_t, binning.tile_start, binning.tile_chunks, static)
+    static = (num_tiles, tw, tile_size, chunk, pair_budget, bool(interpret))
+    tiles = _rasterize(
+        attrs, binning.gid_s, binning.tile_start, binning.tile_count,
+        binning.out_start, binning.gauss_cum, static,
+    )
 
     rgb, transmittance = untile_image(tiles, tw, th, tile_size, width, height)
     image = rgb + transmittance[..., None] * bg[None, None, :]
@@ -182,6 +248,7 @@ def render_reference(
     """Oracle render (pure jnp per-pixel compositor; tests/tiny scenes only).
     tile_size must match the Pallas path being compared: a Gaussian covers
     pixels by tile rectangle, so coverage semantics depend on it."""
+    from gsplat_tpu.render.project import project_gaussians
     from gsplat_tpu.render.raster_ref import composite_reference
 
     proj = project_gaussians(

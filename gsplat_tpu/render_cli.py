@@ -32,16 +32,26 @@ def render_set(model_path: Path, name: str, iteration: int, cams, g, bg, mesh) -
     from gsplat_tpu.render.render import render
 
     base = model_path / name / f"ours_{iteration}"
-    for idx, cam in enumerate(cams):
+    budget = mesh.pair_budget
+    idx = 0
+    while idx < len(cams):
+        cam = cams[idx]
         out = render(
             cam, g, jnp.asarray(bg, jnp.float32),
             tile_size=mesh.tile_size, chunk=mesh.chunk_size,
-            pair_budget=mesh.pair_budget,
+            pair_budget=budget,
         )
+        if int(out.n_dropped) > 0:
+            # dropped pairs = silently wrong render; grow and redo this camera
+            budget *= 2
+            print(f"[{name}] {int(out.n_dropped)} pairs dropped; "
+                  f"pair budget -> {budget} (recompiling)", flush=True)
+            continue
         save_png(base / "renders" / f"{idx:05d}.png", np.asarray(out.image))
         if cam.image is not None:
             save_png(base / "gt" / f"{idx:05d}.png", np.asarray(cam.image))
-        print(f"[{name}] rendered {idx + 1}/{len(cams)}", flush=True)
+        idx += 1
+        print(f"[{name}] rendered {idx}/{len(cams)}", flush=True)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -71,6 +81,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--skip_train", action="store_true")
     p.add_argument("--skip_test", action="store_true")
     p.add_argument("--pair_budget", type=int, default=1 << 20)
+    p.add_argument("--tile_size", type=int, default=32)
+    p.add_argument("--chunk_size", type=int, default=128)
     ns = p.parse_args(argv)
 
     source = ns.source_path
@@ -88,7 +100,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         sh_degree=ns.sh_degree, source_path=source, model_path=ns.model_path,
         resolution=ns.resolution, white_background=ns.white_background, eval=ns.eval,
     )
-    mesh = MeshParams(pair_budget=ns.pair_budget)
+    mesh = MeshParams(pair_budget=ns.pair_budget, tile_size=ns.tile_size,
+                      chunk_size=ns.chunk_size)
     scene = Scene(model, load_iteration=ns.iteration, shuffle=False)
     g = scene.gaussians
     bg = [1.0, 1.0, 1.0] if ns.white_background else [0.0, 0.0, 0.0]

@@ -84,7 +84,9 @@ class Scene:
             )
         self.scene_info = info
 
-        if not self.loaded_iter and self.model_path:
+        import jax
+
+        if not self.loaded_iter and self.model_path and jax.process_index() == 0:
             out = Path(self.model_path)
             out.mkdir(parents=True, exist_ok=True)
             # viewer interop artifacts (upstream Scene.__init__)

@@ -161,6 +161,7 @@ def eval_step(g, cam, bg, *, lambda_dssim, tile_size, chunk, pair_budget):
     return (
         photometric_loss(out.image, cam.image, lambda_dssim),
         psnr(out.image, cam.image),
+        out.n_dropped,
     )
 
 
@@ -174,8 +175,14 @@ def train(
     progress_every: int = 100,
 ) -> Tuple[Gaussians, Scene]:
     """The full training entry point (reference train_utils.cpp:97-146, completed)."""
-    printer = Printer(other.quiet)
-    out_dir = prepare_output_and_logger(model, (model, opt, pipe, other, mesh))
+    # multi-host: every process runs the same loop (same seeds -> same camera
+    # picks); host-side IO (logging, metrics, saves, viewer) is process-0-only
+    is_main = jax.process_index() == 0
+    printer = Printer(other.quiet or not is_main)
+    if is_main:
+        out_dir = prepare_output_and_logger(model, (model, opt, pipe, other, mesh))
+    else:
+        out_dir = Path(model.model_path or ".")
     printer.print(f"Output folder: {out_dir}")
 
     scene = Scene(model, capacity=mesh.capacity)
@@ -206,6 +213,7 @@ def train(
         pair_budget = max(pair_budget, int(resume_extras["pair_budget"]))
     n_mesh_dev = mesh.data_axis * mesh.tile_axis
     spmd = n_mesh_dev > 1
+    multihost = False
     if spmd:
         from gsplat_tpu.dist.mesh import make_mesh
         from gsplat_tpu.dist.spmd import make_spmd_train_step, stack_cameras
@@ -218,21 +226,37 @@ def train(
         dev_mesh = make_mesh(data=mesh.data_axis, tile=mesh.tile_axis)
         printer.print(
             f"SPMD: {mesh.data_axis}-camera batches x {mesh.tile_axis} tile bands"
+            + (f" over {jax.process_count()} processes"
+               if jax.process_count() > 1 else "")
         )
-        train_step = make_spmd_train_step(
-            dev_mesh, opt, mesh, g.spatial_lr_scale, w, h
-        )
-    else:
-        train_step = make_train_step(opt, mesh, g.spatial_lr_scale, w, h,
-                                     pair_budget=pair_budget)
+        multihost = jax.process_count() > 1
+        if multihost:
+            from gsplat_tpu.dist.data import global_camera_batch, replicate_gaussians
+            from gsplat_tpu.dist.mesh import local_data_rows
+
+            my_rows = local_data_rows(dev_mesh)
+            # replicate the model across the global mesh up-front so the first
+            # step compiles once with steady-state shardings
+            g = replicate_gaussians(dev_mesh, g)
+            opt_state = replicate_gaussians(dev_mesh, opt_state)
+
+    def build_step(budget):
+        if spmd:
+            return make_spmd_train_step(
+                dev_mesh, opt, mesh, g.spatial_lr_scale, w, h, pair_budget=budget
+            )
+        return make_train_step(opt, mesh, g.spatial_lr_scale, w, h,
+                               pair_budget=budget)
+
+    train_step = build_step(pair_budget)
     low_usage_streak = 0
 
-    metrics = MetricsLogger(model.model_path)
+    metrics = MetricsLogger(model.model_path if is_main else None)
 
     # live viewer on the reference's ip/port flags (parsed-but-unused there;
     # src/arguments/params.h:110-111) — best-effort, silent on port conflicts
     viewer = None
-    if not other.quiet:
+    if not other.quiet and is_main:
         from gsplat_tpu.viewer import ViewerServer
 
         viewer = ViewerServer(out_dir, other.ip, other.port)
@@ -305,26 +329,28 @@ def train(
                 jax.profiler.stop_trace()
                 printer.print(f"profiler trace written to {mesh.profile_dir}")
 
-            if spmd:
+            if spmd and multihost:
+                # every process computed the same global `picks` (shared RNG);
+                # each contributes only the data-axis rows its devices own
+                step_input = global_camera_batch(
+                    dev_mesh, [picks[d] for d in my_rows]
+                )
+            elif spmd:
                 from gsplat_tpu.dist.spmd import stack_cameras
 
-                g, opt_state, loss, n_dropped = train_step(
-                    g, opt_state, stack_cameras(picks), step_bg,
-                    jnp.asarray(iteration, jnp.int32),
-                )
-                n_pairs = jnp.asarray(0)  # budget adaptation is single-device-only
-                ema_loss = loss
+                step_input = stack_cameras(picks)
             else:
-                g, opt_state, loss, ema_loss, n_pairs, n_dropped = train_step(
-                    g, opt_state, cam, step_bg, jnp.asarray(iteration, jnp.int32),
-                    ema_loss,
-                )
+                step_input = cam
+            g, opt_state, loss, ema_loss, n_pairs, n_dropped = train_step(
+                g, opt_state, step_input, step_bg,
+                jnp.asarray(iteration, jnp.int32), ema_loss,
+            )
 
-            # --- adaptive pair budget: every gather/sort in the render pipeline
-            # scales with the STATIC budget. Checked every 10 iters only — scalar
-            # readbacks are host syncs; a short lag of dropped-pair steps is
-            # harmless ---
-            if spmd or iteration % 10 != 0:
+            # --- adaptive pair budget (both drivers): every gather/sort in the
+            # render pipeline scales with the STATIC budget. Checked every 10
+            # iters only — scalar readbacks are host syncs; a short lag of
+            # dropped-pair steps is harmless ---
+            if iteration % 10 != 0:
                 pass
             elif int(n_dropped) > 0:
                 pair_budget *= 2
@@ -332,8 +358,7 @@ def train(
                     f"[iter {iteration}] pair budget {pair_budget // 2} -> {pair_budget} "
                     f"({int(n_dropped)} pairs dropped; recompiling)"
                 )
-                train_step = make_train_step(opt, mesh, g.spatial_lr_scale, w, h,
-                                             pair_budget=pair_budget)
+                train_step = build_step(pair_budget)
                 low_usage_streak = 0
             elif int(n_pairs) * 4 < pair_budget and pair_budget > mesh.pair_budget:
                 low_usage_streak += 1
@@ -342,8 +367,7 @@ def train(
                     printer.print(
                         f"[iter {iteration}] pair budget shrink -> {pair_budget}"
                     )
-                    train_step = make_train_step(opt, mesh, g.spatial_lr_scale, w, h,
-                                                 pair_budget=pair_budget)
+                    train_step = build_step(pair_budget)
                     low_usage_streak = 0
             else:
                 low_usage_streak = 0
@@ -359,7 +383,7 @@ def train(
                     pv = eval_render(
                         g, train_cams[0], bg,
                         tile_size=mesh.tile_size, chunk=mesh.chunk_size,
-                        pair_budget=mesh.pair_budget,
+                        pair_budget=pair_budget,
                     )
                     viewer.publish(np.asarray(pv))
                 printer.print(
@@ -374,9 +398,10 @@ def train(
                 )
 
             if iteration in other.test_iterations:
-                evaluate(scene, g, bg, opt, mesh, printer, iteration, metrics)
+                evaluate(scene, g, bg, opt, mesh, printer, iteration, metrics,
+                         pair_budget=pair_budget)
 
-            if iteration in other.save_iterations:
+            if iteration in other.save_iterations and is_main:
                 printer.print(f"[iter {iteration}] saving point cloud")
                 save_ply(
                     Path(out_dir) / "point_cloud" / f"iteration_{iteration}" / "point_cloud.ply",
@@ -417,7 +442,7 @@ def train(
 
             # checkpoint LAST within the iteration (upstream train.py order:
             # after densify + optimizer step) so resume at iteration+1 is exact
-            if iteration in other.checkpoint_iterations:
+            if iteration in other.checkpoint_iterations and is_main:
                 printer.print(f"[iter {iteration}] saving checkpoint")
                 save_checkpoint(
                     Path(out_dir) / f"chkpnt{iteration}.npz", g, opt_state,
@@ -438,8 +463,13 @@ def train(
     return g, scene
 
 
-def evaluate(scene, g, bg, opt, mesh, printer, iteration, metrics=None) -> None:
-    """Test/train-sample PSNR report (upstream training_report)."""
+def evaluate(scene, g, bg, opt, mesh, printer, iteration, metrics=None,
+             pair_budget=None) -> None:
+    """Test/train-sample PSNR report (upstream training_report). Uses the
+    driver's CURRENT pair budget (the training loop may have grown it past
+    mesh.pair_budget) and flags any dropped pairs — a dropped pair means the
+    reported PSNR understates the model."""
+    budget = pair_budget if pair_budget is not None else mesh.pair_budget
     configs = [
         ("test", scene.get_test_cameras()),
         ("train", scene.get_train_cameras()[:5]),
@@ -447,20 +477,23 @@ def evaluate(scene, g, bg, opt, mesh, printer, iteration, metrics=None) -> None:
     for name, cams in configs:
         if not cams:
             continue
-        losses, psnrs = [], []
+        losses, psnrs, dropped = [], [], 0
         for cam in cams:
-            l, p = eval_step(
+            l, p, nd = eval_step(
                 g, cam, bg,
                 lambda_dssim=opt.lambda_dssim,
                 tile_size=mesh.tile_size,
                 chunk=mesh.chunk_size,
-                pair_budget=mesh.pair_budget,
+                pair_budget=budget,
             )
             losses.append(float(l))
             psnrs.append(float(p))
+            dropped += int(nd)
         printer.print(
             f"[iter {iteration}] eval {name}: loss {np.mean(losses):.5f} "
             f"PSNR {np.mean(psnrs):.2f}"
+            + (f" [WARNING: {dropped} pairs dropped — PSNR understated; "
+               f"raise --pair_budget]" if dropped else "")
         )
         if metrics is not None:
             metrics.log(

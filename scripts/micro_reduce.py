@@ -1,14 +1,14 @@
 """Microbenchmarks for the pair-gradient reduction path (round-2 perf work).
 
-Times, on the real chip, the alternatives for turning per-pair cotangents
-(16, P) in padded tile order back into per-Gaussian gradients (N, 16):
+All variants MATERIALIZE their outputs (an earlier sum-only version let XLA
+collapse the data movement and reported fantasy numbers). Times on the chip:
 
-  A. current: scatter-build inv_e + row-gather to expansion order
-  B. lax.sort by eid with 16 f32 payload columns (permutation-by-sort)
-  C. lax.sort by eid with 9 payload columns
-  D. boundary gather S[cum] (increasing indices) from the prefix-sum table
-  E. the (tile,depth) binning sort at this P for scale
-  F. plain row-gather attrs[padded_gid] (fwd gather floor)
+  A. current: scatter-build inv_e + row-gather of (P,16) cotangents
+  B. sort by gid key with 9 f32 payload columns (permutation-by-sort)
+  C. cumsum + S[cum] boundary-diff (16 cols) — the segment reduce
+  C9. same at 9 cols
+  E. the (tile,depth) binning sort (4 operands) for scale
+  F. attrs[gid] row-gather (the fwd expansion gather)
 
 Usage: python scripts/micro_reduce.py [--p 2621440] [--n 1000000]
 """
@@ -16,7 +16,6 @@ Usage: python scripts/micro_reduce.py [--p 2621440] [--n 1000000]
 import argparse
 import sys
 import time
-from functools import partial
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -32,14 +31,13 @@ import numpy as np
 
 def timeit(name, fn, *args, iters=5):
     fn = jax.jit(fn)
-    out = jax.block_until_ready(fn(*args))
+    jax.block_until_ready(fn(*args))
     best = float("inf")
     for _ in range(iters):
         t0 = time.time()
         jax.block_until_ready(fn(*args))
         best = min(best, time.time() - t0)
-    print(f"{name:45s} {best * 1e3:9.2f} ms")
-    return out
+    print(f"{name:45s} {best * 1e3:9.2f} ms", flush=True)
 
 
 def main():
@@ -53,74 +51,61 @@ def main():
     rng = np.random.default_rng(0)
     perm = rng.permutation(P).astype(np.int32)
     eid = np.full(P, L, np.int32)
-    eid[perm[:L]] = np.arange(L, dtype=np.int32)  # L live slots, random eids
+    eid[perm[:L]] = np.arange(L, dtype=np.int32)
     d_t = rng.normal(size=(16, P)).astype(np.float32)
-    # per-Gaussian inclusive counts reaching L total
     counts = rng.multinomial(L, np.ones(N) / N).astype(np.int32)
     cum = np.cumsum(counts).astype(np.int32)
-    gid_pad = rng.integers(0, N, size=P).astype(np.int32)
+    gid_key = np.where(eid < L, rng.integers(0, N, P), 1 << 30).astype(np.int32)
 
     eid_j = jnp.asarray(eid)
     d_t_j = jnp.asarray(d_t)
     cum_j = jnp.asarray(cum)
-    gid_j = jnp.asarray(gid_pad)
+    key_j = jnp.asarray(gid_key)
+    gid_pad = jnp.asarray(rng.integers(0, N, size=P).astype(np.int32))
     attrs = jnp.asarray(rng.normal(size=(N + 1, 16)).astype(np.float32))
 
     def variant_a(d_t, eid):
         inv_e = jnp.full((L,), P, jnp.int32).at[eid].set(
             jnp.arange(P, dtype=jnp.int32), mode="drop", unique_indices=True
         )
-        d_rows = jnp.concatenate(
-            [d_t.T, jnp.zeros((1, 16), d_t.dtype)], axis=0
-        )[inv_e]
-        return jnp.sum(d_rows)
+        return jnp.concatenate([d_t.T, jnp.zeros((1, 16), d_t.dtype)], axis=0)[inv_e]
 
-    def variant_b(d_t, eid):
-        ops = (eid,) + tuple(d_t[i] for i in range(16))
-        sout = jax.lax.sort(ops, num_keys=1, is_stable=False)
-        return sum(jnp.sum(s[:L]) for s in sout[1:])
+    def variant_b(d_t, key):
+        ops = (key,) + tuple(d_t[i] for i in range(9))
+        return jax.lax.sort(ops, num_keys=1, is_stable=False)[1:]
 
-    def variant_c(d_t, eid):
-        ops = (eid,) + tuple(d_t[i] for i in range(9))
-        sout = jax.lax.sort(ops, num_keys=1, is_stable=False)
-        return sum(jnp.sum(s[:L]) for s in sout[1:])
-
-    def variant_d(d_t, cum):
+    def variant_c(d_t, cum):
         S = jnp.concatenate(
             [jnp.zeros((1, 16), d_t.dtype), jnp.cumsum(d_t.T[:L], axis=0)], axis=0
         )
         T_b = S[cum]
-        d_live = T_b - jnp.concatenate([jnp.zeros((1, 16)), T_b[:-1]], axis=0)
-        return jnp.sum(d_live)
+        return T_b - jnp.concatenate([jnp.zeros((1, 16)), T_b[:-1]], axis=0)
 
-    def variant_d9(d_t, cum):
+    def variant_c9(d_t, cum):
         S = jnp.concatenate(
             [jnp.zeros((1, 9), d_t.dtype), jnp.cumsum(d_t[:9].T[:L], axis=0)], axis=0
         )
         T_b = S[cum]
-        d_live = T_b - jnp.concatenate([jnp.zeros((1, 9)), T_b[:-1]], axis=0)
-        return jnp.sum(d_live)
+        return T_b - jnp.concatenate([jnp.zeros((1, 9)), T_b[:-1]], axis=0)
 
     def variant_e(eid):
         k1 = jnp.asarray(rng.integers(0, 2040, P).astype(np.int32))
         k2 = jnp.asarray(rng.normal(size=P).astype(np.float32))
-        s = jax.lax.sort((k1, k2, eid, eid), num_keys=2, is_stable=True)
-        return s[2][:8]
+        return jax.lax.sort((k1, k2, eid, eid), num_keys=2, is_stable=True)
 
     def variant_f(attrs, gid):
-        return jnp.sum(attrs[gid])
+        return attrs[gid]
 
-    def cumsum_only(d_t):
-        return jnp.sum(jnp.cumsum(d_t.T[:L], axis=0)[-1])
+    def variant_f_t(attrs, gid):
+        return attrs[gid].T
 
     timeit("A inv_e scatter + row-gather (current)", variant_a, d_t_j, eid_j)
-    timeit("B sort eid + 16 payload cols", variant_b, d_t_j, eid_j)
-    timeit("C sort eid + 9 payload cols", variant_c, d_t_j, eid_j)
-    timeit("D cumsum + S[cum] boundary (16 cols)", variant_d, d_t_j, cum_j)
-    timeit("D9 cumsum + S[cum] boundary (9 cols)", variant_d9, d_t_j, cum_j)
+    timeit("B sort gid key + 9 payload cols", variant_b, d_t_j, key_j)
+    timeit("C cumsum + S[cum] boundary (16 cols)", variant_c, d_t_j, cum_j)
+    timeit("C9 cumsum + S[cum] boundary (9 cols)", variant_c9, d_t_j, cum_j)
     timeit("E (tile,depth) 2-key sort, 2 payloads", variant_e, eid_j)
-    timeit("F attrs[padded_gid] row-gather (fwd)", variant_f, attrs, gid_j)
-    timeit("G cumsum (pad,16) alone", cumsum_only, d_t_j)
+    timeit("F attrs[gid] row-gather (fwd)", variant_f, attrs, gid_pad)
+    timeit("F' attrs[gid].T (fwd, transposed out)", variant_f_t, attrs, gid_pad)
 
 
 if __name__ == "__main__":

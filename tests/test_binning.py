@@ -1,5 +1,6 @@
-"""Tile-binning unit tests: segment tables, expansion maps, ordering invariants
-(the structures the Pallas kernels and the gradient reduction rely on)."""
+"""Tile-binning unit tests: segment tables, sorted-order invariants, backward
+output-region layout (the structures the Pallas kernels and the gradient
+reduction rely on)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -37,50 +38,45 @@ def test_counts_and_segments():
             for tx in range(int(x0[g]), int(x1[g])):
                 exp[ty * tw + tx] += 1
     np.testing.assert_array_equal(counts, exp)
-    # chunk-aligned segment table is consistent
+    # compact segments tile [0, total) contiguously in tile order
     starts = np.asarray(b.tile_start)
-    chunks = np.asarray(b.tile_chunks)
-    assert (chunks * CH >= counts).all()
-    ends = starts + chunks * CH
-    order = np.argsort(starts)
-    for a, bb in zip(order[:-1], order[1:]):
-        assert ends[a] <= starts[bb] or chunks[a] == 0 or chunks[bb] == 0
+    ends = starts + counts
+    live = counts > 0
+    assert starts[0] == 0 or not live[0]
+    for t in range(1, len(counts)):
+        assert starts[t] == ends[t - 1] or starts[t] >= ends[t - 1]
 
 
-def test_padded_gid_depth_order():
+def test_sorted_gid_depth_order():
     b = simple_case()
-    pg = np.asarray(b.padded_gid)
+    gid = np.asarray(b.gid_s)
     starts = np.asarray(b.tile_start)
     counts = np.asarray(b.tile_count)
     n = 3
     for t in range(len(counts)):
-        seg = pg[starts[t]: starts[t] + counts[t]]
+        seg = gid[starts[t]: starts[t] + counts[t]]
         assert (seg != n).all()
         # front-to-back: depth must be non-decreasing within the tile
         depth = np.asarray([2.0, 1.0, 3.0])[seg]
         assert (np.diff(depth) >= 0).all()
-    # padding slots hold the null Gaussian
-    for t in range(len(counts)):
-        padseg = pg[starts[t] + counts[t]: starts[t] + np.asarray(b.tile_chunks)[t] * CH]
-        assert (padseg == n).all()
+    # tail beyond the live total holds the null Gaussian
+    assert (gid[int(b.n_pairs):] == n).all()
 
 
-def test_expansion_maps_roundtrip():
+def test_out_regions_disjoint_and_sized():
     b = simple_case()
-    pg = np.asarray(b.padded_gid)
-    pe = np.asarray(b.padded_eid)
-    offsets = np.asarray(b.gauss_offsets)
-    cum = np.asarray(b.gauss_cum)
-    n = 3
-    # every valid padded slot's expansion index maps back to the same Gaussian
-    for q in range(len(pg)):
-        if pg[q] != n:
-            e = pe[q]
-            g = np.searchsorted(cum, e, side="right")
-            assert g == pg[q]
-    # all valid expansion ids appear exactly once
-    valid = pe[pg != n]
-    assert len(np.unique(valid)) == len(valid) == int(b.n_pairs)
+    starts = np.asarray(b.tile_start)
+    counts = np.asarray(b.tile_count)
+    out = np.asarray(b.out_start)
+    head = starts % CH
+    nch = -(-(head + counts) // CH)
+    # aligned, disjoint, covering exactly the chunk count each tile sweeps
+    assert (out % CH == 0).all()
+    end = out + nch * CH
+    for t in range(1, len(out)):
+        assert out[t] == end[t - 1]
+    # per-Gaussian cumsum table matches the segment totals
+    assert int(np.asarray(b.gauss_cum)[-1]) == int(b.n_pairs)
 
 
 def test_overflow_budget():

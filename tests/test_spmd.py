@@ -90,9 +90,12 @@ def test_spmd_step_matches_single_device(mesh_shape):
 
     step_fn = make_spmd_train_step(mesh, opt, MP, 1.0, W, H, interpret=True)
     cam_batch = stack_cameras(cams)
-    g_s, st_s, loss_s, nd = step_fn(
-        g, opt_state, cam_batch, bg, jnp.asarray(1, jnp.int32)
+    g_s, st_s, loss_s, ema_s, n_pairs_s, nd = step_fn(
+        g, opt_state, cam_batch, bg, jnp.asarray(1, jnp.int32),
+        jnp.zeros((), jnp.float32),
     )
+    assert int(n_pairs_s) > 0 and int(nd) == 0
+    np.testing.assert_allclose(float(ema_s), float(loss_s), rtol=1e-6)
 
     g_r, st_r, loss_r = reference_batch_step(
         g, opt_state, cams, bg, jnp.asarray(1, jnp.int32), opt
@@ -122,7 +125,8 @@ def test_spmd_eval_matches_render():
     cam = cams[0]
     bg = jnp.zeros(3)
     eval_fn = make_spmd_eval_step(mesh, MP, 0.2, W, H, interpret=True)
-    loss, p, img = eval_fn(g, cam, bg)
+    loss, p, img, nd = eval_fn(g, cam, bg)
+    assert int(nd) == 0
     ref_img = render(cam, g, bg, tile_size=MP.tile_size, chunk=MP.chunk_size,
                      pair_budget=MP.pair_budget).image
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img), atol=2e-5)
@@ -178,9 +182,56 @@ def test_global_camera_batch_feeds_spmd_step():
 
     g_rep = replicate_gaussians(mesh, g)
     batch = global_camera_batch(mesh, cams)
-    g1, _, loss1, _ = step_fn(g_rep, opt_state, batch, bg, jnp.asarray(1, jnp.int32))
+    zema = jnp.zeros((), jnp.float32)
+    g1, _, loss1, _, _, _ = step_fn(
+        g_rep, opt_state, batch, bg, jnp.asarray(1, jnp.int32), zema)
 
     stacked = stack_cameras(cams)
-    g2, _, loss2, _ = step_fn(g, opt_state, stacked, bg, jnp.asarray(1, jnp.int32))
+    g2, _, loss2, _, _, _ = step_fn(
+        g, opt_state, stacked, bg, jnp.asarray(1, jnp.int32), zema)
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g1.xyz), np.asarray(g2.xyz), atol=1e-7)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 2)])
+def test_sharded_gaussian_step_matches_replicated(mesh_shape):
+    """ZeRO-style sharded-Gaussian step (params+Adam sharded over `data`,
+    projected-attr all_to_all) computes the same update as the replicated
+    step (VERDICT r1 item 9)."""
+    from gsplat_tpu.dist.data import shard_gaussians
+    from gsplat_tpu.dist.spmd import make_sharded_spmd_train_step
+
+    data, tile = mesh_shape
+    ndev = data * tile
+    if ndev > len(jax.devices()):
+        pytest.skip("not enough devices")
+    mesh = make_mesh(data=data, tile=tile, devices=jax.devices()[:ndev])
+    g, cams = scene(n_cams=data, seed=7)
+    bg = jnp.zeros(3)
+    opt = OptimizationParams()
+    opt_state = init_adam_state(g.params())
+    batch = stack_cameras(cams)
+    zema = jnp.zeros((), jnp.float32)
+    step = jnp.asarray(1, jnp.int32)
+
+    rep_fn = make_spmd_train_step(mesh, opt, MP, 1.0, W, H, interpret=True)
+    g_r, st_r, loss_r, _, _, nd_r = rep_fn(g, opt_state, batch, bg, step, zema)
+
+    g_sh, st_sh = shard_gaussians(mesh, g, opt_state)
+    sh_fn = make_sharded_spmd_train_step(mesh, opt, MP, 1.0, W, H, interpret=True)
+    g_s, st_s, loss_s, _, n_pairs, nd_s = sh_fn(g_sh, st_sh, batch, bg, step, zema)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_r), rtol=1e-5)
+    assert int(nd_s) == int(nd_r) == 0
+    np.testing.assert_allclose(np.asarray(g_s.xyz), np.asarray(g_r.xyz), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st_s.mu["opacity"]), np.asarray(st_r.mu["opacity"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_s.xyz_gradient_accum), np.asarray(g_r.xyz_gradient_accum),
+        atol=1e-6,
+    )
+    # the win: parameters and moments live sharded over `data`
+    from jax.sharding import PartitionSpec
+    assert g_s.xyz.sharding.spec == PartitionSpec("data")
+    assert st_s.mu["xyz"].sharding.spec == PartitionSpec("data")
