@@ -18,8 +18,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out", type=Path)
     ap.add_argument("--n_cams", type=int, default=32)
-    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--size", type=int, default=256,
+                    help="square size; or use --width/--height")
+    ap.add_argument("--width", type=int, default=0)
+    ap.add_argument("--height", type=int, default=0)
     ap.add_argument("--n_gt", type=int, default=2000)
+    ap.add_argument("--textured", action="store_true",
+                    help="high-frequency textured GT (quality-proxy runs)")
+    ap.add_argument("--pair_budget", type=int, default=1 << 18)
     ap.add_argument("--noise", type=float, default=0.03,
                     help="std of noise added to the GT points written as points3D")
     ns = ap.parse_args()
@@ -33,11 +39,13 @@ def main():
     from gsplat_tpu.core.camera import make_camera
     from gsplat_tpu.io import colmap
     from gsplat_tpu.render.render import render
-    from scripts.selfcheck_train import gt_scene, rig
+    from scripts.selfcheck_train import gt_scene, rig, textured_scene
 
-    g_true, pts, colors = gt_scene(ns.n_gt)
+    make = textured_scene if ns.textured else gt_scene
+    g_true, pts, colors = make(ns.n_gt)
     bg = jnp.zeros(3, jnp.float32)
-    S = ns.size
+    W = ns.width or ns.size
+    H = ns.height or ns.size
 
     sparse = ns.out / "sparse" / "0"
     sparse.mkdir(parents=True, exist_ok=True)
@@ -45,19 +53,21 @@ def main():
     img_dir.mkdir(parents=True, exist_ok=True)
 
     import math
-    focal = 0.5 * S / math.tan(0.45)
+    fovx = 0.9
+    focal = 0.5 * W / math.tan(fovx / 2)
+    fovy = 2 * math.atan(0.5 * H / focal)
     cams = {
-        1: colmap.Camera(id=1, model="PINHOLE", width=S, height=S,
-                         params=np.array([focal, focal, S / 2, S / 2]))
+        1: colmap.Camera(id=1, model="PINHOLE", width=W, height=H,
+                         params=np.array([focal, focal, W / 2, H / 2]))
     }
     colmap.write_intrinsics_binary(cams, sparse / "cameras.bin")
 
     render_j = jax.jit(lambda c, gg: render(
-        c, gg, bg, tile_size=16, chunk=128, pair_budget=1 << 18).image)
+        c, gg, bg, tile_size=16, chunk=128, pair_budget=ns.pair_budget).image)
 
     imgs = {}
     for i, (R, T) in enumerate(rig(ns.n_cams), start=1):
-        cam = make_camera(R, T, fovx=0.9, fovy=0.9, width=S, height=S)
+        cam = make_camera(R, T, fovx=fovx, fovy=fovy, width=W, height=H)
         img = np.asarray(render_j(cam, g_true))
         name = f"img_{i:03d}.png"
         PILImage.fromarray(
