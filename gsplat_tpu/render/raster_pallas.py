@@ -341,7 +341,11 @@ def _bwd_kernel(
             cg = _dg(rgb, g_rgb, 0, 0)               # (chunk, npix)
             wcg = w * cg
             pref = _cumsum0(wcg) + prefix
-            dalpha = t_i * cg - (total_cg - pref + t_final * g_t) / (1.0 - alpha)
+            # exact reciprocal beats the hardware divide on the VPU; alpha is
+            # clamped <= 0.99 so 1-alpha >= 0.01 and the reciprocal is benign
+            dalpha = t_i * cg - (total_cg - pref + t_final * g_t) * pl.reciprocal(
+                1.0 - alpha, approx=False
+            )
             dalpha = dalpha * chain
             d_rgb = _dg(g_rgb, w, 1, 1)              # (3, chunk)
             gda = G * dalpha
