@@ -302,8 +302,16 @@ def _bwd_kernel(
     def _():
         idma(0, 0).start()
 
-    def body(j, carry):
-        t_run, prefix = carry
+    def cond(state):
+        # saturation early-out as a LOOP EXIT (mirrors _fwd_kernel): once
+        # every pixel's transmittance is below T_EPS no later pair receives
+        # gradient, so the remaining chunks only need their gid keys emitted
+        # (the cheap tail loop below) — not the ~10 matmuls of real math.
+        j, t_run, prefix = state
+        return (j < nch) & (jnp.max(t_run) >= T_EPS)
+
+    def body(state):
+        j, t_run, prefix = state
         slot = j % 2
 
         @pl.when(j + 1 < nch)
@@ -318,69 +326,91 @@ def _bwd_kernel(
 
         a = ibuf[slot]
         valid = _valid_column(j, head, count, chunk)
-        # every live pair must emit its gid key exactly once — even in chunks
-        # skipped by the saturation early-out (their d rows are zero)
         key_row = jnp.where(
             _valid_row(j, head, count, chunk), a[9:10, :], KEY_INVALID
         )  # (1, chunk) f32 gid values
-        alive = jnp.max(t_run) >= T_EPS
 
-        def live(_):
-            U, mxl, myl, ca, cb, cc, _ = _chunk_U(a, ox, oy)
-            op_col = _op_column(a)
-            power = _dg(U, V, 0, 0)
-            alpha, chain, G = _alphas_from_power(power, op_col, valid)
-            rgb = a[5:8, :]
+        U, mxl, myl, ca, cb, cc, _ = _chunk_U(a, ox, oy)
+        op_col = _op_column(a)
+        power = _dg(U, V, 0, 0)
+        alpha, chain, G = _alphas_from_power(power, op_col, valid)
+        rgb = a[5:8, :]
 
-            lg = jnp.log1p(-alpha)
-            cum = _cumsum0(lg)
-            t_exc = jnp.exp(cum - lg)
-            t_i = t_exc * t_run
-            w = alpha * t_i
+        lg = jnp.log1p(-alpha)
+        cum = _cumsum0(lg)
+        t_exc = jnp.exp(cum - lg)
+        t_i = t_exc * t_run
+        w = alpha * t_i
 
-            cg = _dg(rgb, g_rgb, 0, 0)               # (chunk, npix)
-            wcg = w * cg
-            pref = _cumsum0(wcg) + prefix
-            # exact reciprocal beats the hardware divide on the VPU; alpha is
-            # clamped <= 0.99 so 1-alpha >= 0.01 and the reciprocal is benign
-            dalpha = t_i * cg - (total_cg - pref + t_final * g_t) * pl.reciprocal(
-                1.0 - alpha, approx=False
-            )
-            dalpha = dalpha * chain
-            d_rgb = _dg(g_rgb, w, 1, 1)              # (3, chunk)
-            gda = G * dalpha
-            d_op = _dg(ones_pix, gda, 1, 1)          # (1, chunk)
-            dpow = op_col * gda                      # (chunk, npix)
-            dU = _dg(V, dpow, 1, 1)                  # (8, chunk)
-            du3, du4, du5 = dU[3:4, :], dU[4:5, :], dU[5:6, :]
-            d_a = -0.5 * dU[0:1, :] + mxl * du3 - 0.5 * mxl * mxl * du5
-            d_c = -0.5 * dU[1:2, :] + myl * du4 - 0.5 * myl * myl * du5
-            d_b = -dU[2:3, :] + myl * du3 + mxl * du4 - mxl * myl * du5
-            d_mx = ca * du3 + cb * du4 - (ca * mxl + cb * myl) * du5
-            d_my = cb * du3 + cc * du4 - (cc * myl + cb * mxl) * du5
+        cg = _dg(rgb, g_rgb, 0, 0)               # (chunk, npix)
+        wcg = w * cg
+        pref = _cumsum0(wcg) + prefix
+        # exact reciprocal beats the hardware divide on the VPU; alpha is
+        # clamped <= 0.99 so 1-alpha >= 0.01 and the reciprocal is benign
+        dalpha = t_i * cg - (total_cg - pref + t_final * g_t) * pl.reciprocal(
+            1.0 - alpha, approx=False
+        )
+        dalpha = dalpha * chain
+        d_rgb = _dg(g_rgb, w, 1, 1)              # (3, chunk)
+        gda = G * dalpha
+        d_op = _dg(ones_pix, gda, 1, 1)          # (1, chunk)
+        dpow = op_col * gda                      # (chunk, npix)
+        dU = _dg(V, dpow, 1, 1)                  # (8, chunk)
+        du3, du4, du5 = dU[3:4, :], dU[4:5, :], dU[5:6, :]
+        d_a = -0.5 * dU[0:1, :] + mxl * du3 - 0.5 * mxl * mxl * du5
+        d_c = -0.5 * dU[1:2, :] + myl * du4 - 0.5 * myl * myl * du5
+        d_b = -dU[2:3, :] + myl * du3 + mxl * du4 - mxl * myl * du5
+        d_mx = ca * du3 + cb * du4 - (ca * mxl + cb * myl) * du5
+        d_my = cb * du3 + cc * du4 - (cc * myl + cb * mxl) * du5
 
-            zeros = jnp.zeros((ATTR_DIM - 10, chunk), jnp.float32)
-            obuf[slot] = jnp.concatenate(
-                [d_mx, d_my, d_a, d_b, d_c, d_rgb, d_op, key_row, zeros], axis=0
-            )
-            return (
-                t_run * jnp.exp(jnp.sum(lg, axis=0, keepdims=True)),
-                pref[chunk - 1 : chunk, :],
-            )
-
-        def dead(_):
-            zeros9 = jnp.zeros((9, chunk), jnp.float32)
-            ztail = jnp.zeros((ATTR_DIM - 10, chunk), jnp.float32)
-            obuf[slot] = jnp.concatenate([zeros9, key_row, ztail], axis=0)
-            return t_run, prefix
-
-        new_carry = jax.lax.cond(alive, live, dead, None)
+        zeros = jnp.zeros((ATTR_DIM - 10, chunk), jnp.float32)
+        obuf[slot] = jnp.concatenate(
+            [d_mx, d_my, d_a, d_b, d_c, d_rgb, d_op, key_row, zeros], axis=0
+        )
         odma(slot, j).start()
-        return new_carry
+        return (
+            j + 1,
+            t_run * jnp.exp(jnp.sum(lg, axis=0, keepdims=True)),
+            pref[chunk - 1 : chunk, :],
+        )
 
     t0 = jnp.ones((1, npix), jnp.float32)
     p0 = jnp.zeros((1, npix), jnp.float32)
-    jax.lax.fori_loop(0, nch, body, (t0, p0))
+    j_end, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), t0, p0)
+    )
+
+    # key-only tail for chunks past saturation: every live pair must still
+    # emit its gid key exactly once (zero d rows) so the sort-reduction sees
+    # it. The read DMA still moves the full 16-row chunk — Mosaic requires
+    # HBM slices 8-sublane-aligned, so row 9 alone is not expressible — but
+    # all per-pair math and matmuls are skipped. Chunk j_end's read is
+    # already in flight (prefetched by the last live body, or by the
+    # pre-loop start when j_end == 0 < nch).
+    def tail(j, _):
+        slot = j % 2
+
+        @pl.when(j + 1 < nch)
+        def _():
+            idma((j + 1) % 2, j + 1).start()
+
+        idma(slot, j).wait()
+
+        @pl.when(j >= 2)
+        def _():
+            odma(slot, j - 2).wait()
+
+        key_row = jnp.where(
+            _valid_row(j, head, count, chunk), ibuf[slot][9:10, :], KEY_INVALID
+        )
+        obuf[slot] = jnp.concatenate(
+            [jnp.zeros((9, chunk), jnp.float32), key_row,
+             jnp.zeros((ATTR_DIM - 10, chunk), jnp.float32)], axis=0
+        )
+        odma(slot, j).start()
+        return 0
+
+    jax.lax.fori_loop(j_end, nch, tail, 0)
 
     # retire trailing write DMAs
     @pl.when(nch >= 1)
