@@ -48,6 +48,39 @@ def tile_grid(width: int, height: int, tile_size: int) -> Tuple[int, int]:
     return tw, th
 
 
+def depth_shift(num_tiles: int) -> int:
+    """Bits of quantized depth in the packed (tile, depth) sort key.
+
+    The pair sort key packs tile_id and depth into ONE non-negative int32 —
+    the same design as upstream CUDA 3DGS's 64-bit (tile << 32 | depth-bits)
+    radix key, narrowed to fit a TPU-native s32 sort (s64 sort on TPU is
+    emulated and a 2-key sort moves an extra full operand through every pass).
+    Positive IEEE-754 floats compare correctly as their int bits, so the top
+    `db` bits of the depth's bit pattern are an order-preserving quantization:
+    at 1080p/tile16 (8160 tiles, db=17) depths are ordered exactly unless they
+    agree to ~2^-10 relative, in which case the stable sort falls back to
+    Gaussian-index order (upstream resolves such near-ties by full mantissa;
+    the compositing difference for splats at equal-to-1e-3 depth is below
+    render tolerance). The reference oracle quantizes identically so parity
+    tests are exact."""
+    tile_bits = max(1, (num_tiles + 1).bit_length())
+    db = 31 - tile_bits
+    assert db >= 8, f"too many tiles ({num_tiles}) for a packed s32 sort key"
+    return db
+
+
+def pack_sort_key(tile: jnp.ndarray, depth: jnp.ndarray, num_tiles: int):
+    """(P,) int32 tile ids + (P,) f32 positive depths -> packed s32 sort key."""
+    db = depth_shift(num_tiles)
+    dq = jax.lax.shift_right_logical(
+        depth.astype(jnp.float32).view(jnp.int32), 32 - db
+    )
+    # +inf (invalid-pair sentinel) has bits 0x7f800000: >> (32-db) always fits
+    # db bits for db <= 22; clamp anyway for tiny-db safety
+    dq = jnp.minimum(dq, (1 << db) - 1)
+    return (tile << db) | dq
+
+
 def out_budget(pair_budget: int, num_tiles: int, chunk: int) -> int:
     """Static size of the backward d-array: every tile's aligned chunk range
     can exceed its live count by head (< chunk) + tail padding (< chunk)."""
@@ -105,32 +138,64 @@ def bin_gaussians(
     marks = jnp.zeros(pair_budget, jnp.int32).at[offsets].add(1, mode="drop")
     gid_c = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)
 
-    # ONE row-gather of all per-Gaussian columns (5 scalar gathers would each pay
-    # the full per-element gather cost)
+    # Expand per-Gaussian columns to per-pair rows. Columns (all int32, packed
+    # to keep the expansion narrow): [x0 | y0<<16, max(rect_w,1), offsets,
+    # depth bits].
     cols = jnp.stack(
-        [x0, y0, jnp.maximum(rect_w, 1), offsets,
+        [x0 | (y0 << 16), jnp.maximum(rect_w, 1), offsets,
          depth.astype(jnp.float32).view(jnp.int32)], axis=1
-    )  # (n, 5) int32
-    pc = cols[gid_c]                               # (pair_budget, 5)
-    local = p - pc[:, 3]
-    tx = pc[:, 0] + local % pc[:, 2]
-    ty = pc[:, 1] + local // pc[:, 2]
+    )  # (n, 4) int32
+    if pair_budget >= 8 * n:
+        # DENSE regime: a pair_budget-row gather pays the per-row random-access
+        # cost for every pair (~200 ms at 42M pairs @1080p on v5e) even though
+        # gid_c is MONOTONE — each Gaussian's rows are consecutive. Exploit
+        # that: scatter each live Gaussian's delta vs the previous live
+        # Gaussian at its segment start, then an int32 cumsum telescopes back
+        # to exactly cols[gid_c] (every partial sum IS some Gaussian's column
+        # value, so the packed fields can never carry into each other). Costs
+        # one n-row compaction + scatter + 4 pair-long cumsums — ~2x cheaper
+        # than the gather at 16+ pairs/Gaussian, slower below (n-row fixed
+        # costs), hence the static gate.
+        live = counts > 0
+        ord_ = jnp.argsort(jnp.where(live, 0, 1).astype(jnp.int32), stable=True)
+        cols_l = cols[ord_]                        # (n, 4), live rows first
+        live_l = live[ord_]
+        offs_l = jnp.where(live_l, offsets[ord_], pair_budget)
+        diffs = cols_l - jnp.concatenate(
+            [jnp.zeros((1, cols.shape[1]), cols.dtype), cols_l[:-1]], axis=0
+        )
+        diffs = jnp.where(live_l[:, None], diffs, 0)
+        pc = jnp.cumsum(
+            jnp.zeros((pair_budget, cols.shape[1]), jnp.int32)
+            .at[offs_l].add(diffs, mode="drop"),
+            axis=0,
+        )
+    else:
+        pc = cols[gid_c]                           # (pair_budget, 4) row gather
+    local = p - pc[:, 2]
+    tx = (pc[:, 0] & 0xFFFF) + local % pc[:, 1]
+    ty = (pc[:, 0] >> 16) + local // pc[:, 1]
     tile = ty * tw + tx
     valid = p < total
     tile = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
     pair_depth = jnp.where(
-        valid, pc[:, 4].view(jnp.float32), jnp.inf
+        valid, pc[:, 3].view(jnp.float32), jnp.inf
     ).astype(jnp.float32)
     pair_gid = jnp.where(valid, gid_c, n).astype(jnp.int32)
 
-    tile_s, _, gid_s = jax.lax.sort(
-        (tile, pair_depth, pair_gid), num_keys=2, is_stable=True
-    )
+    # ONE packed s32 key (see pack_sort_key) instead of a 2-key 3-operand
+    # sort: a third operand rides every compare-exchange pass of the sort, and
+    # at realistic density (30+ pairs/Gaussian, 40M+ pairs @1080p) the pair
+    # sort is a top-3 step cost. Stable => depth near-ties resolve to Gaussian
+    # index order, upstream's tie semantics.
+    key = pack_sort_key(tile, pair_depth, num_tiles)
+    key_s, gid_s = jax.lax.sort((key, pair_gid), num_keys=1, is_stable=True)
 
     # per-tile segment boundaries on the sorted array (tiny: num_tiles-sized)
+    db = depth_shift(num_tiles)
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(tile_s, tids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(tile_s, tids, side="right").astype(jnp.int32)
+    starts = jnp.searchsorted(key_s, tids << db, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(key_s, (tids + 1) << db, side="left").astype(jnp.int32)
     tile_count = ends - starts
     # backward output regions: one aligned span per tile covering the same
     # chunk count the kernel sweeps (head + count, rounded up)

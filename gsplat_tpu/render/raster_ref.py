@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from gsplat_tpu.render.binning import tile_grid, tile_rects
+from gsplat_tpu.render.binning import depth_shift, tile_grid, tile_rects
 from gsplat_tpu.render.project import Projection
 
 ALPHA_MIN = 1.0 / 255.0
@@ -39,7 +39,17 @@ def composite_reference(
     tw, th = tile_grid(width, height, tile_size)
     x0, y0, x1, y1 = tile_rects(proj.mean2d, proj.radius, tw, th, tile_size)
 
-    order = jnp.argsort(jnp.where(proj.radius > 0, proj.depth, jnp.inf), stable=True)
+    # depth quantized exactly as the Pallas path's packed sort key
+    # (binning.pack_sort_key): near-ties compose in Gaussian-index order there,
+    # and the oracle must composite in the same order to be a bitwise-order
+    # parity reference
+    db = depth_shift(tw * th)
+    dq = jax.lax.shift_right_logical(
+        jnp.where(proj.radius > 0, proj.depth, jnp.inf)
+        .astype(jnp.float32).view(jnp.int32),
+        32 - db,
+    )
+    order = jnp.argsort(dq, stable=True)
     mean2d = proj.mean2d[order]
     conic = proj.conic[order]
     rgb = proj.rgb[order]

@@ -56,6 +56,11 @@ def main():
     ap.add_argument("--size", type=int, nargs=2, default=[1920, 1080])
     ap.add_argument("--steps", type=int, default=2)
     ap.add_argument("--trace_dir", default="/tmp/gsplat_trace")
+    ap.add_argument("--tile_size", type=int, default=32)
+    ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--ppg", type=float, default=4.0,
+                    help="target pairs per Gaussian (bench scene density)")
+    ap.add_argument("--pair_budget", type=int, default=5 << 19)
     ns = ap.parse_args()
 
     from bench import build_scene
@@ -63,13 +68,14 @@ def main():
     from gsplat_tpu.train.loss import photometric_loss
 
     w, h = ns.size
-    g, cam = build_scene(ns.n, w, h)
+    g, cam = build_scene(ns.n, w, h, target_pairs_per_gaussian=ns.ppg,
+                         tile_size=ns.tile_size)
     bg = jnp.zeros(3, jnp.float32)
 
     def f(g):
         def loss_fn(params):
-            out = render(cam, g.with_params(params), bg, tile_size=32,
-                         chunk=128, pair_budget=5 << 19)
+            out = render(cam, g.with_params(params), bg, tile_size=ns.tile_size,
+                         chunk=ns.chunk, pair_budget=ns.pair_budget)
             return photometric_loss(out.image, cam.image, 0.2), out.n_pairs
         (l, npair), grads = jax.value_and_grad(loss_fn, has_aux=True)(g.params())
         return l, npair, grads["xyz"]
