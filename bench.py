@@ -30,6 +30,21 @@ HBM_BW = {  # bytes/s, per chip
     "TPU v6 lite": 1.6e12,  # v6e
 }
 
+# VPU elementwise throughput (slots/s): lanes x sublanes x ALUs x clock.
+VPU_SLOTS = {
+    "TPU v5 lite": 128 * 8 * 4 * 0.94e9,  # ~3.85e12
+    "TPU v4": 128 * 8 * 4 * 1.05e9,
+    "TPU v6 lite": 128 * 8 * 4 * 0.94e9,
+}
+# VPU slots per (pair, pixel) for the fwd+bwd compositing sweeps, counted from
+# gsplat_tpu/render/raster_pallas.py: fwd ~11 cheap vector ops + 3
+# transcendentals (exp/log1p/exp, ~7 slots each) ~= 32; bwd re-sweeps fwd and
+# adds the gradient chain (~20 cheap + 4 transcendental-class) ~= 64. The
+# compositing algorithm evaluates every pair on every pixel of its tile, so
+# the COMPUTE roofline is pairs * tile_size^2 * C_OPS / VPU_rate — on trained
+# scenes this, not HBM bytes (192B/pair), is the binding resource.
+C_OPS_FWD_BWD = 96
+
 
 def build_scene(n, width, height, seed=0, target_pairs_per_gaussian=4.0,
                 tile_size=16):
@@ -182,6 +197,13 @@ def main():
     bw = next((v for k, v in HBM_BW.items() if k in dev_kind), 819e9)
     sol_pix_per_s = bw / (192.0 * max(sparse["pairs_per_pixel"], 1e-9))
     vs = sparse["pix_per_s"] / sol_pix_per_s
+    # compute roofline: the same step priced at VPU throughput (see C_OPS note)
+    vpu = next((v for k, v in VPU_SLOTS.items() if k in dev_kind), 3.85e12)
+    vpu_sol_ms = {
+        name: cfg["pairs"] * tile_size * tile_size * C_OPS_FWD_BWD / vpu * 1e3
+        for name, cfg in (("sparse", sparse), ("dense", dense))
+    }
+    vs_vpu = vpu_sol_ms["sparse"] / max(sparse["step_ms"], 1e-9)
 
     print(json.dumps({
         "metric": "pixels_per_s_per_chip_fwd_bwd_1M_gaussians_1080p"
@@ -195,6 +217,9 @@ def main():
         "dense_step_ms": dense["step_ms"],
         "dense_pix_per_s": dense["pix_per_s"],
         "dense_pairs_per_pixel": dense["pairs_per_pixel"],
+        "vpu_sol_ms": round(vpu_sol_ms["sparse"], 2),
+        "dense_vpu_sol_ms": round(vpu_sol_ms["dense"], 2),
+        "vs_vpu_sol": round(vs_vpu, 4),
         "n_gaussians": n,
         "resolution": f"{width}x{height}",
         "tile_size": tile_size,

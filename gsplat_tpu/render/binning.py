@@ -186,10 +186,14 @@ def bin_gaussians(
     # ONE packed s32 key (see pack_sort_key) instead of a 2-key 3-operand
     # sort: a third operand rides every compare-exchange pass of the sort, and
     # at realistic density (30+ pairs/Gaussian, 40M+ pairs @1080p) the pair
-    # sort is a top-3 step cost. Stable => depth near-ties resolve to Gaussian
-    # index order, upstream's tie semantics.
+    # sort is a top-3 step cost. num_keys=2 on (key, gid) with is_stable=False
+    # replaces stability: within equal packed keys the order is gid-ascending —
+    # exactly what a stable sort of the expansion order would give (a Gaussian
+    # never pairs with the same tile twice, so (key, gid) has no duplicates) —
+    # while an is_stable=True sort would make XLA append a THIRD hidden iota
+    # tiebreaker operand that rides every compare-exchange pass.
     key = pack_sort_key(tile, pair_depth, num_tiles)
-    key_s, gid_s = jax.lax.sort((key, pair_gid), num_keys=1, is_stable=True)
+    key_s, gid_s = jax.lax.sort((key, pair_gid), num_keys=2, is_stable=False)
 
     # per-tile segment boundaries on the sorted array (tiny: num_tiles-sized)
     db = depth_shift(num_tiles)

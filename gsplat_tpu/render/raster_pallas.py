@@ -136,15 +136,18 @@ def _valid_row(j, head, count, chunk):
 def _alphas_from_power(power, op_col, valid_col):
     """Upstream alpha masking: skip power>0, clamp at 0.99, zero below 1/255;
     rows outside the tile's segment are masked to alpha 0 (and grad-chain 0).
-    power (chunk, npix); op_col/valid_col (chunk, 1)."""
-    G = jnp.exp(jnp.minimum(power, 0.0))
+    power (chunk, npix); op_col/valid_col (chunk, 1).
+
+    power>0 is folded into the exponent (-100 -> exp underflows to exactly 0 on
+    TPU's flush-to-zero path, and to <1e-43 < ALPHA_MIN/op elsewhere), so the
+    skip tests collapse to one range check on raw — ~6 fewer VPU ops per
+    (pair, pixel) than masking alpha with three predicates after the fact."""
+    G = jnp.exp(jnp.where(power > 0.0, -100.0, power))
     raw = op_col * G  # broadcast (chunk,1) * (chunk,npix)
-    ok = (power <= 0.0) & (raw >= ALPHA_MIN) & (raw <= ALPHA_MAX)
-    alpha = jnp.where(
-        ok, raw, jnp.where((power <= 0.0) & (raw > ALPHA_MAX), ALPHA_MAX, 0.0)
-    )
-    alpha = alpha * valid_col
-    return alpha, ok.astype(jnp.float32) * valid_col, G
+    keep = raw >= ALPHA_MIN
+    alpha = jnp.where(keep, jnp.minimum(raw, ALPHA_MAX), 0.0) * valid_col
+    chain = (keep & (raw <= ALPHA_MAX)).astype(jnp.float32) * valid_col
+    return alpha, chain, G
 
 
 def _dg(a, b, ca, cb):

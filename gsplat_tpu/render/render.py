@@ -95,6 +95,12 @@ def _rasterize_bwd(static, res, g):
     # cumsum + boundary difference at the per-Gaussian inclusive counts.
     # The key is the f32 gid value carried in d row 9 (sorts correctly as a
     # float; masked/unwritten rows carry KEY_INVALID and sort last).
+    # Deliberately a 10-OPERAND sort: sorting (key, iota) and applying the
+    # permutation afterwards as a (p_out, 9) row gather was measured SLOWER on
+    # v5e at both densities (sparse 304->348 ms, dense 1492->2053 ms/step) —
+    # the transpose out of the kernel's (16, P) layout plus the 42M-row random
+    # gather cost more than dragging 9 extra f32 operands through every
+    # compare-exchange pass of the sort.
     sorted_ops = jax.lax.sort(
         (d_t[N_DCOLS],) + tuple(d_t[i] for i in range(N_DCOLS)), num_keys=1,
         is_stable=False,

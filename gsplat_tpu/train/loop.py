@@ -253,13 +253,17 @@ def train(
 
     metrics = MetricsLogger(model.model_path if is_main else None)
 
-    # live viewer on the reference's ip/port flags (parsed-but-unused there;
-    # src/arguments/params.h:110-111) — best-effort, silent on port conflicts
+    # live viewer + SIBR-protocol network GUI on the reference's ip/port flags
+    # (parsed-but-unused there; src/arguments/params.h:110-111) — best-effort,
+    # silent on port conflicts. One port: HTTP requests get the browser
+    # preview, anything else speaks upstream's network_gui wire format.
     viewer = None
     if not other.quiet and is_main:
-        from gsplat_tpu.viewer import ViewerServer
+        from gsplat_tpu.network_gui import NetworkGUIServer
 
-        viewer = ViewerServer(out_dir, other.ip, other.port)
+        viewer = NetworkGUIServer(
+            Path(out_dir), other.ip, other.port, verify=model.source_path
+        )
         if viewer.url:
             printer.print(f"viewer: {viewer.url}")
     rng = jax.random.PRNGKey(0)
@@ -296,11 +300,46 @@ def train(
             ).copy(),
         }
 
+    def _serve_gui_request(req, g, bg, mesh, pair_budget):
+        """Render one network-GUI custom view and unblock its connection."""
+        from gsplat_tpu.network_gui import camera_from_request, image_to_bytes
+
+        img_bytes = None
+        try:
+            if req.world_view is not None:
+                cam = camera_from_request(req)
+                out = render(
+                    cam, g, bg, tile_size=mesh.tile_size, chunk=mesh.chunk_size,
+                    pair_budget=pair_budget,
+                    scaling_modifier=req.scaling_modifier,
+                )
+                img_bytes = image_to_bytes(out.image)
+        except Exception:
+            pass  # GUI is best-effort; never kill training for a bad request
+        req.reply(img_bytes)
+
     t0 = time.time()
     iteration = first_iter
 
     try:
         for iteration in range(first_iter + 1, opt.iterations + 1):
+            # network-GUI round-trips at loop top (upstream train.py order):
+            # render any custom viewer cameras; if the viewer paused training
+            # (train=False, keep_alive), keep serving until it resumes or
+            # disconnects.
+            if viewer is not None and viewer.url:
+                while True:
+                    req = viewer.poll()
+                    if req is None:
+                        if viewer.training_paused and viewer.sibr_connected:
+                            time.sleep(0.02)
+                            continue
+                        viewer.training_paused = False
+                        break
+                    _serve_gui_request(req, g, bg, mesh, pair_budget)
+                    viewer.training_paused = (not req.do_training
+                                              and req.keep_alive)
+
             # SH degree annealing every 1000 iters (reference gaussian_model.cpp:307-313)
             if iteration % 1000 == 0:
                 g = g.oneup_sh_degree()
