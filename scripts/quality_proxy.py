@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--capacity", type=int, default=1 << 17)
     ap.add_argument("--pair_budget", type=int, default=1 << 21)
     ap.add_argument("--skip_make", action="store_true")
+    ap.add_argument("--start_checkpoint", default="")
     ns = ap.parse_args()
 
     scene_dir = ns.root / "scene"
@@ -55,8 +56,10 @@ def main():
         "--tile_size", "16",
         "--test_iterations", "1000", "7000", "15000", str(ns.iters),
         "--save_iterations", "7000", str(ns.iters),
-        "--checkpoint_iterations", str(ns.iters),
+        "--checkpoint_iterations", "7000", "15000", "22000", str(ns.iters),
     ]
+    if ns.start_checkpoint:
+        sys.argv += ["--start_checkpoint", ns.start_checkpoint]
     cli_main()
 
     # summarize the metrics stream
