@@ -35,23 +35,22 @@ def _gaussian_window(size: int, sigma: float) -> jnp.ndarray:
 
 
 def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Separable depthwise Gaussian blur; img (H,W,C) -> (H,W,C), SAME padding."""
-    c = img.shape[-1]
-    x = img[None]  # NHWC
+    """Separable depthwise Gaussian blur; img (H,W,C) -> (H,W,C), SAME padding.
+
+    Written as shifted weighted adds (static slices of a zero-padded array)
+    rather than lax.conv: a C=3-minor depthwise conv lowers to a TPU
+    convolution with 3/128 lane utilization (~1.7 ms per pass at 1080p, ~14 ms
+    of a 280 ms train step across SSIM fwd+bwd); the slice form fuses into one
+    elementwise VPU loop and its transpose (pad+add) fuses the same way.
+    Semantics are identical to conv with zero 'SAME' padding (upstream
+    pytorch-ssim)."""
     size = window.shape[0]
-    kh = jnp.tile(window.reshape(size, 1, 1, 1), (1, 1, 1, c))  # HWIO depthwise
-    kw = jnp.tile(window.reshape(1, size, 1, 1), (1, 1, 1, c))
-    dn = lax.conv_dimension_numbers(x.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
-    # precision='highest': TPU convs default to bf16 inputs; keep SSIM exact
-    x = lax.conv_general_dilated(
-        x, kh, (1, 1), [(size // 2, size // 2), (0, 0)], dimension_numbers=dn,
-        feature_group_count=c, precision=lax.Precision.HIGHEST,
-    )
-    x = lax.conv_general_dilated(
-        x, kw, (1, 1), [(0, 0), (size // 2, size // 2)], dimension_numbers=dn,
-        feature_group_count=c, precision=lax.Precision.HIGHEST,
-    )
-    return x[0]
+    half = size // 2
+    h, w = img.shape[0], img.shape[1]
+    x = jnp.pad(img, ((half, half), (0, 0), (0, 0)))
+    img = sum(window[k] * x[k:k + h] for k in range(size))
+    x = jnp.pad(img, ((0, 0), (half, half), (0, 0)))
+    return sum(window[k] * x[:, k:k + w] for k in range(size))
 
 
 def ssim(
