@@ -31,6 +31,13 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     model, opt, pipe, other, mesh = parse_parameters(argv)
 
+    # multi-device runs: let XLA hide the grad all-reduce behind backward
+    # (env flags — must be set before the first backend use)
+    if mesh.data_axis * mesh.tile_axis > 1 or mesh.data_axis == -1:
+        from gsplat_tpu.dist.mesh import enable_collective_overlap
+
+        enable_collective_overlap()
+
     # multi-host bootstrap must precede any backend use (SURVEY.md §7 M6)
     if mesh.num_processes > 1 or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
         from gsplat_tpu.dist.mesh import initialize_distributed

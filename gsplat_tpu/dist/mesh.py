@@ -26,6 +26,31 @@ DATA_AXIS = "data"
 TILE_AXIS = "tile"
 
 
+def enable_collective_overlap() -> None:
+    """Ask XLA to overlap the DP gradient all-reduce with backward compute.
+
+    The SPMD step emits its collectives through shard_map transposes; whether
+    they hide behind the backward Pallas kernels is the scheduler's call. These
+    flags turn on XLA:TPU's latency-hiding scheduler and async collective
+    fusion (SURVEY.md §7 hard part 5, BASELINE north star 'grad allreduce
+    overlapped with backward'). Harmless single-chip (no collectives to
+    schedule); must run before the first backend use to take effect. Real
+    overlap can only be profiled on multi-chip hardware, which CI does not
+    have — the multichip dryrun validates compile+execute, not timing.
+    """
+    flags = (
+        "--xla_tpu_enable_latency_hiding_scheduler=true",
+        "--xla_tpu_enable_async_collective_fusion=true",
+        "--xla_tpu_enable_async_collective_fusion_fuse_all_gather=true",
+    )
+    # LIBTPU_INIT_ARGS, not XLA_FLAGS: the CPU/GPU XLA flag parser aborts the
+    # process on unknown --xla_tpu_* flags, while libtpu alone reads this var.
+    cur = os.environ.get("LIBTPU_INIT_ARGS", "")
+    add = " ".join(f for f in flags if f.split("=")[0] not in cur)
+    if add:
+        os.environ["LIBTPU_INIT_ARGS"] = (cur + " " + add).strip()
+
+
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -33,6 +58,7 @@ def initialize_distributed(
 ) -> None:
     """Multi-host bootstrap (DCN). No-op for single-process runs; on TPU pods with
     the standard environment, jax.distributed.initialize() autodetects."""
+    enable_collective_overlap()
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
