@@ -20,6 +20,7 @@ CASES = [
     (33, 17, 16, 8, 30, 2),       # odd sizes
     (64, 64, 16, 32, 1, 3),       # single Gaussian
     (64, 64, 16, 8, 120, 4),      # dense overlap
+    (160, 96, 64, 16, 80, 5),     # tile 64 (dense-regime production knob)
 ]
 
 
@@ -44,7 +45,11 @@ def test_fuzz_forward_parity(W, H, tile, chunk, n, seed):
 
     out = render(cam, g, bg, tile_size=tile, chunk=chunk, pair_budget=1 << 14)
     ref = render_reference(cam, g, bg, tile_size=tile)
-    np.testing.assert_allclose(np.asarray(out.image), np.asarray(ref), atol=3e-5)
+    # tolerance grows with tile size: tile-local pixel coords reach `tile` so
+    # the bilinear-form cancellation error scales with it (still ~1e-4 abs)
+    np.testing.assert_allclose(
+        np.asarray(out.image), np.asarray(ref), atol=3e-5 * max(tile // 16, 1)
+    )
     # transmittance sane
     tr = np.asarray(out.transmittance)
     assert (tr >= -1e-6).all() and (tr <= 1 + 1e-6).all()
