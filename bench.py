@@ -100,7 +100,7 @@ def build_scene(n, width, height, seed=0, target_pairs_per_gaussian=4.0,
 
 
 def run_config(n, width, height, *, tile_size, chunk, pair_budget, iters,
-               target_pairs_per_gaussian=4.0):
+               target_pairs_per_gaussian=4.0, tight_cull=True):
     """Compile + time the jitted fwd+bwd step for one scene density. Returns a
     dict of measurements."""
     from gsplat_tpu.render.render import render
@@ -125,18 +125,19 @@ def run_config(n, width, height, *, tile_size, chunk, pair_budget, iters,
             out = render(
                 cam, g.with_params(params), bg,
                 tile_size=tile_size, chunk=chunk, pair_budget=pair_budget,
+                tight_cull=tight_cull,
             )
-            return photometric_loss(out.image, cam.image, 0.2), out.n_pairs
+            return photometric_loss(out.image, cam.image, 0.2), (out.n_pairs, out.n_culled)
 
-        (loss, n_pairs), grads = jax.value_and_grad(loss_fn, has_aux=True)(g.params())
-        return loss, n_pairs, grads["xyz"]
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(g.params())
+        return loss, aux[0], aux[1], grads["xyz"]
 
     print("compiling fwd+bwd", file=sys.stderr, flush=True)
     t0 = time.time()
     compiled = fwd_bwd.lower(g).compile()
     compile_s = time.time() - t0
     print(f"compiled in {compile_s:.0f}s; first run", file=sys.stderr, flush=True)
-    loss, n_pairs, gxyz = jax.block_until_ready(compiled(g))
+    loss, n_pairs, n_culled, gxyz = jax.block_until_ready(compiled(g))
     assert bool(jnp.isfinite(loss)) and bool(jnp.all(jnp.isfinite(gxyz))), (
         "non-finite loss/grads at bench scale"
     )
@@ -153,6 +154,7 @@ def run_config(n, width, height, *, tile_size, chunk, pair_budget, iters,
         "pix_per_s": round(pixels / best, 1),
         "pairs": int(n_pairs),
         "pairs_per_pixel": round(int(n_pairs) / pixels, 2),
+        "culled": int(n_culled),
         "loss": round(float(loss), 5),
         "compile_s": round(compile_s, 1),
     }
@@ -166,6 +168,7 @@ def main():
     chunk_arg = int(sys.argv[sys.argv.index("--chunk") + 1]) \
         if "--chunk" in sys.argv else 128
     skip_dense = "--skip_dense" in sys.argv
+    tight_cull = "--no_cull" not in sys.argv
 
     if on_tpu:
         n, width, height = 1_000_000, 1920, 1080
@@ -174,6 +177,7 @@ def main():
         sparse = run_config(
             n, width, height, tile_size=tile_size, chunk=chunk_arg,
             pair_budget=5 << 19, iters=5, target_pairs_per_gaussian=2.25,
+            tight_cull=tight_cull,
         )
         # honest-density companion (VERDICT r1 item 2): trained 1080p scenes
         # composite tens of Gaussians per pixel; the pair-proportional stages
@@ -181,6 +185,7 @@ def main():
         dense = sparse if skip_dense else run_config(
             n, width, height, tile_size=tile_size, chunk=chunk_arg,
             pair_budget=5 << 23, iters=3, target_pairs_per_gaussian=33.0,
+            tight_cull=tight_cull,
         )
     else:  # smoke fallback (BASELINE config 0 scale)
         n, width, height = 2_000, 256, 256
@@ -217,6 +222,8 @@ def main():
         "dense_step_ms": dense["step_ms"],
         "dense_pix_per_s": dense["pix_per_s"],
         "dense_pairs_per_pixel": dense["pairs_per_pixel"],
+        "culled": sparse["culled"],
+        "dense_culled": dense["culled"],
         "vpu_sol_ms": round(vpu_sol_ms["sparse"], 2),
         "dense_vpu_sol_ms": round(vpu_sol_ms["dense"], 2),
         "vs_vpu_sol": round(vs_vpu, 4),

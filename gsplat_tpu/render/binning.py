@@ -34,12 +34,13 @@ import jax.numpy as jnp
 class Binning(NamedTuple):
     gid_s: jnp.ndarray        # (pair_budget,) int32 sorted Gaussian ids; N when empty
     gauss_offsets: jnp.ndarray  # (N,) int32 exclusive pair-count cumsum
-    gauss_cum: jnp.ndarray    # (N,) int32 inclusive pair-count cumsum
+    gauss_cum: jnp.ndarray    # (N,) int32 inclusive KEPT-pair cumsum (grad segments)
     tile_start: jnp.ndarray   # (num_tiles,) int32 UNALIGNED pair offset per tile
     tile_count: jnp.ndarray   # (num_tiles,) int32 live pairs per tile
     out_start: jnp.ndarray    # (num_tiles,) int32 chunk-aligned bwd output offset
-    n_pairs: jnp.ndarray      # () int32 total live pairs (for budget monitoring)
+    n_pairs: jnp.ndarray      # () int32 total expansion slots (budget monitoring)
     n_dropped: jnp.ndarray    # () int32 pairs dropped by budget overflow
+    n_culled: jnp.ndarray     # () int32 rect pairs removed by the tight tile cull
 
 
 def tile_grid(width: int, height: int, tile_size: int) -> Tuple[int, int]:
@@ -99,6 +100,35 @@ def tile_rects(
     return x0, y0, x1, y1
 
 
+ALPHA_MIN = 1.0 / 255.0  # matches raster_pallas.ALPHA_MIN (compositing skip)
+
+
+def _rect_min_Q(a, b, c, lx, hx, ly, hy):
+    """Exact min over the box [lx,hx]x[ly,hy] of the PSD quadratic
+    Q(d) = 0.5*a*dx^2 + b*dx*dy + 0.5*c*dy^2 (box relative to the splat mean).
+
+    Zero when the mean lies inside the box; otherwise the min is on the
+    boundary — each edge restricts Q to a 1D quadratic with a closed-form
+    clamped minimizer. This is the gsplat-style tight tile/ellipse test: the
+    pair's max alpha in the tile is opacity * exp(-minQ)."""
+    inside = (lx <= 0.0) & (hx >= 0.0) & (ly <= 0.0) & (hy >= 0.0)
+    a_s = jnp.maximum(a, 1e-12)
+    c_s = jnp.maximum(c, 1e-12)
+
+    def edge_x(e):
+        dy = jnp.clip(-b * e / c_s, ly, hy)
+        return 0.5 * a * e * e + b * e * dy + 0.5 * c * dy * dy
+
+    def edge_y(e):
+        dx = jnp.clip(-b * e / a_s, lx, hx)
+        return 0.5 * a * dx * dx + b * dx * e + 0.5 * c * e * e
+
+    m = jnp.minimum(
+        jnp.minimum(edge_x(lx), edge_x(hx)), jnp.minimum(edge_y(ly), edge_y(hy))
+    )
+    return jnp.where(inside, 0.0, jnp.maximum(m, 0.0))
+
+
 def bin_gaussians(
     mean2d: jnp.ndarray,
     radius: jnp.ndarray,
@@ -109,17 +139,39 @@ def bin_gaussians(
     tile_size: int,
     chunk: int,
     pair_budget: int,
+    cull_conic: jnp.ndarray = None,
+    cull_opacity: jnp.ndarray = None,
 ) -> Binning:
     """Build the sorted compact (Gaussian, tile) pair layout + per-tile tables.
 
     All inputs should be stop-gradient'ed by the caller (binning is integer-valued;
     gradients flow through the attribute gather instead). pair_budget must be a
     multiple of `chunk` (the kernels DMA chunk-aligned supersets of segments).
+
+    cull_conic (N,3) + cull_opacity (N,) enable the TIGHT TILE CULL: rect pairs
+    whose maximum alpha anywhere in the tile is provably below the compositing
+    skip threshold (1/255) are keyed invalid, so they sort past every live tile
+    segment and never reach the kernels, the backward d-array, or the gradient
+    reduction. The test is conservative (exact quadratic min over the tile box,
+    2% threshold slack for f32 rounding), so the rendered image is IDENTICAL —
+    upstream CUDA 3DGS keeps every bounding-rect pair (its per-pixel loop just
+    skips them); public gsplat showed tile-level ellipse tests remove 20-60% of
+    pairs on trained scenes. Culled pairs still occupy expansion SLOTS
+    (n_pairs/budget semantics unchanged); the win is in every pair-proportional
+    stage after the sort.
     """
     assert pair_budget % chunk == 0, (pair_budget, chunk)
     n = mean2d.shape[0]
     tw, th = tile_grid(width, height, tile_size)
     num_tiles = tw * th
+    # The cull test needs 6 per-pair attribute columns. In the gather regime
+    # they ride the existing per-row gather for free; in the B2 regime
+    # (pair_budget >= 8n) each extra column adds a pair-long scatter+cumsum
+    # (~23 ms/col at 42M pairs on v5e) while the cull can only shrink the
+    # kernels there (every sort/gather stays budget-sized) — a net loss until
+    # the kept-pair budget split lands, so the cull is gated to gather-regime
+    # densities.
+    do_cull = cull_conic is not None and pair_budget < 8 * n
 
     x0, y0, x1, y1 = tile_rects(mean2d, radius, tw, th, tile_size)
     rect_w = jnp.maximum(x1 - x0, 0)
@@ -138,13 +190,24 @@ def bin_gaussians(
     marks = jnp.zeros(pair_budget, jnp.int32).at[offsets].add(1, mode="drop")
     gid_c = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)
 
-    # Expand per-Gaussian columns to per-pair rows. Columns (all int32, packed
-    # to keep the expansion narrow): [x0 | y0<<16, max(rect_w,1), offsets,
-    # depth bits].
-    cols = jnp.stack(
-        [x0 | (y0 << 16), jnp.maximum(rect_w, 1), offsets,
-         depth.astype(jnp.float32).view(jnp.int32)], axis=1
-    )  # (n, 4) int32
+    # Expand per-Gaussian columns to per-pair rows. Columns (all int32 — f32
+    # attributes ride as raw bit patterns, exact under the int32 B2 telescoping
+    # below): [x0 | y0<<16, max(rect_w,1), offsets, depth bits] + (cull only)
+    # [mean_x, mean_y, conic_a, conic_b, conic_c, opacity] bits.
+    col_list = [
+        x0 | (y0 << 16), jnp.maximum(rect_w, 1), offsets,
+        depth.astype(jnp.float32).view(jnp.int32),
+    ]
+    if do_cull:
+        col_list += [
+            mean2d[:, 0].astype(jnp.float32).view(jnp.int32),
+            mean2d[:, 1].astype(jnp.float32).view(jnp.int32),
+            cull_conic[:, 0].astype(jnp.float32).view(jnp.int32),
+            cull_conic[:, 1].astype(jnp.float32).view(jnp.int32),
+            cull_conic[:, 2].astype(jnp.float32).view(jnp.int32),
+            cull_opacity.astype(jnp.float32).view(jnp.int32),
+        ]
+    cols = jnp.stack(col_list, axis=1)  # (n, 4 or 10) int32
     if pair_budget >= 8 * n:
         # DENSE regime: a pair_budget-row gather pays the per-row random-access
         # cost for every pair (~200 ms at 42M pairs @1080p on v5e) even though
@@ -177,11 +240,31 @@ def bin_gaussians(
     ty = (pc[:, 0] >> 16) + local // pc[:, 1]
     tile = ty * tw + tx
     valid = p < total
-    tile = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
+
+    if do_cull:
+        mx = pc[:, 4].view(jnp.float32)
+        my = pc[:, 5].view(jnp.float32)
+        ca = pc[:, 6].view(jnp.float32)
+        cb = pc[:, 7].view(jnp.float32)
+        cc = pc[:, 8].view(jnp.float32)
+        op = pc[:, 9].view(jnp.float32)
+        ts = float(tile_size)
+        lx = tx.astype(jnp.float32) * ts - mx   # tile pixel-center box rel mean
+        ly = ty.astype(jnp.float32) * ts - my
+        min_q = _rect_min_Q(ca, cb, cc, lx, lx + (ts - 1.0), ly, ly + (ts - 1.0))
+        # 2% slack keeps any pair f32 rounding could misprice near the cutoff
+        keep = op * jnp.exp(-min_q) >= ALPHA_MIN * 0.98
+        valid_k = valid & keep
+        n_culled = jnp.sum(valid & ~keep).astype(jnp.int32)
+    else:
+        valid_k = valid
+        n_culled = jnp.zeros((), jnp.int32)
+
+    tile = jnp.where(valid_k, tile, num_tiles).astype(jnp.int32)
     pair_depth = jnp.where(
-        valid, pc[:, 3].view(jnp.float32), jnp.inf
+        valid_k, pc[:, 3].view(jnp.float32), jnp.inf
     ).astype(jnp.float32)
-    pair_gid = jnp.where(valid, gid_c, n).astype(jnp.int32)
+    pair_gid = jnp.where(valid_k, gid_c, n).astype(jnp.int32)
 
     # ONE packed s32 key (see pack_sort_key) instead of a 2-key 3-operand
     # sort: a third operand rides every compare-exchange pass of the sort, and
@@ -208,13 +291,24 @@ def bin_gaussians(
     out_sizes = nch * chunk
     out_start = (jnp.cumsum(out_sizes) - out_sizes).astype(jnp.int32)
 
+    if do_cull:
+        # gradient segment boundaries must count KEPT pairs only (culled rows
+        # never reach the backward d-array): cumulative kept slots per Gaussian
+        K = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(valid_k.astype(jnp.int32))]
+        )
+        gauss_cum = K[jnp.minimum(cum, pair_budget)]
+    else:
+        gauss_cum = cum
+
     return Binning(
         gid_s=gid_s,
         gauss_offsets=offsets,
-        gauss_cum=cum,
+        gauss_cum=gauss_cum,
         tile_start=starts,
         tile_count=tile_count,
         out_start=out_start,
         n_pairs=jnp.minimum(total, pair_budget),
         n_dropped=n_dropped,
+        n_culled=n_culled,
     )

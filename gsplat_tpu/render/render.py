@@ -144,6 +144,7 @@ class RenderOutput(NamedTuple):
     visible: jnp.ndarray      # (N,) bool visibility filter
     n_pairs: jnp.ndarray      # () int32 live pair count (budget telemetry)
     n_dropped: jnp.ndarray    # () int32 pairs dropped by budget overflow
+    n_culled: jnp.ndarray     # () int32 rect pairs removed by the tight tile cull
 
 
 def render(
@@ -159,6 +160,7 @@ def render(
     mean2d_offset: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
     region: Optional[tuple] = None,
+    tight_cull: bool = True,
 ) -> RenderOutput:
     """Render `g` through `cam` over background `bg` (3,).
 
@@ -179,7 +181,7 @@ def render(
     return render_projected(
         proj, cam.width, cam.height, bg,
         tile_size=tile_size, chunk=chunk, pair_budget=pair_budget,
-        interpret=interpret, region=region,
+        interpret=interpret, region=region, tight_cull=tight_cull,
     )
 
 
@@ -194,8 +196,13 @@ def render_projected(
     pair_budget: int = 1 << 18,
     interpret: Optional[bool] = None,
     region: Optional[tuple] = None,
+    tight_cull: bool = True,
 ) -> RenderOutput:
     """Bin + rasterize a pre-computed `Projection` (render.project.Projection).
+
+    tight_cull drops bounding-rect (Gaussian, tile) pairs whose max alpha in
+    the tile is provably < 1/255 (exact quadratic min over the tile box) — the
+    rendered image is identical, the kernels sweep fewer chunks.
 
     Split out of `render()` so the sharded-Gaussian SPMD step can project each
     Gaussian shard on its owner device, exchange the (much smaller) projected
@@ -222,6 +229,10 @@ def render_projected(
         jax.lax.stop_gradient(proj.depth),
         width=width, height=height, tile_size=tile_size,
         chunk=chunk, pair_budget=pair_budget,
+        cull_conic=jax.lax.stop_gradient(proj.conic) if tight_cull else None,
+        cull_opacity=(
+            jax.lax.stop_gradient(proj.opacity) if tight_cull else None
+        ),
     )
 
     # differentiable per-Gaussian attrs with an inert null row at index N
@@ -245,6 +256,7 @@ def render_projected(
         visible=proj.visible,
         n_pairs=binning.n_pairs,
         n_dropped=binning.n_dropped,
+        n_culled=binning.n_culled,
     )
 
 

@@ -87,3 +87,95 @@ def test_overflow_budget():
                       chunk=CH, pair_budget=64)
     assert int(b.n_dropped) == 160 - 64
     assert int(b.n_pairs) == 64
+
+
+def test_rect_min_q_vs_bruteforce():
+    """_rect_min_Q == dense grid min over the box for random PSD conics."""
+    from gsplat_tpu.render.binning import _rect_min_Q
+
+    rng = np.random.default_rng(9)
+    for _ in range(50):
+        # random PSD conic via M = L L^T
+        l11, l22 = rng.uniform(0.05, 2.0, 2)
+        l21 = rng.normal() * 0.5
+        a = l11 * l11
+        b = l11 * l21
+        c = l21 * l21 + l22 * l22
+        lx, ly = rng.uniform(-30, 20, 2)
+        hx, hy = lx + rng.uniform(1, 25), ly + rng.uniform(1, 25)
+        got = float(_rect_min_Q(*map(jnp.float32, (a, b, c, lx, hx, ly, hy))))
+        xs = np.linspace(lx, hx, 201)
+        ys = np.linspace(ly, hy, 201)
+        dx, dy = np.meshgrid(xs, ys)
+        grid = 0.5 * a * dx**2 + b * dx * dy + 0.5 * c * dy**2
+        want = float(grid.min())
+        # grid min is an upper bound of the true min (201x201 sampling); the
+        # sampling error near the minimizer is bounded by the Hessian over one
+        # grid cell
+        sx, sy = (hx - lx) / 200.0, (hy - ly) / 200.0
+        grid_err = 0.5 * (a + 2 * abs(b) + c) * (sx * sx + sy * sy) + 1e-5
+        assert got <= want + 1e-4, (got, want)
+        assert got >= want - grid_err, (got, want, grid_err)
+
+
+def test_tight_cull_identical_image_and_grads():
+    """Culling is conservative: image and every gradient identical to the
+    uncull render, with a nonzero number of pairs actually culled."""
+    import jax
+
+    from tests.fixtures import look_at_rig
+    from gsplat_tpu.core.camera import make_camera
+    from gsplat_tpu.core.gaussians import create_from_pcd
+    from gsplat_tpu.render.render import render
+
+    rng = np.random.default_rng(4)
+    n = 80
+    # capacity/budget chosen inside the gather regime (budget < 8*capacity),
+    # where the tight cull is active (it is gated off in the B2 regime)
+    g = create_from_pcd(rng.normal(size=(n, 3)) * 0.6, rng.random((n, 3)),
+                        capacity=1024)
+    # big anisotropic splats: large bounding rects, elongated ellipses
+    sc = np.stack([rng.uniform(-1.0, 0.3, n), rng.uniform(-4.0, -2.0, n),
+                   rng.uniform(-2.0, 0.0, n)], axis=1).astype(np.float32)
+    rot = rng.normal(size=(n, 4)).astype(np.float32)
+    g = g.replace(
+        scaling=g.scaling.at[:n].set(jnp.asarray(sc)),
+        rotation=g.rotation.at[:n].set(jnp.asarray(rot)),
+    )
+    (R, T), = look_at_rig(1)
+    cam = make_camera(R, T, fovx=1.0, fovy=0.8, width=96, height=64,
+                      image=rng.random((64, 96, 3)).astype(np.float32))
+    bg = jnp.asarray([0.2, 0.1, 0.3], jnp.float32)
+
+    def run(tight):
+        def f(params, off):
+            out = render(cam, g.with_params(params), bg, tile_size=16, chunk=8,
+                         pair_budget=1 << 12, mean2d_offset=off,
+                         tight_cull=tight)
+            return jnp.sum((out.image - cam.image) ** 2), out
+
+        off0 = jnp.zeros((g.capacity, 2), jnp.float32)
+        (loss, out), grads = jax.value_and_grad(f, argnums=(0, 1), has_aux=True)(
+            g.params(), off0
+        )
+        return loss, out, grads
+
+    loss_c, out_c, grads_c = run(True)
+    loss_u, out_u, grads_u = run(False)
+    assert int(out_c.n_culled) > 0, "cull never triggered — weak test scene"
+    assert int(out_u.n_culled) == 0
+    # identical up to the T_EPS=1e-4 saturation early-exit, which triggers at
+    # chunk granularity and therefore truncates at different pairs once culled
+    # rows vanish from the chunk partition
+    np.testing.assert_allclose(np.asarray(out_c.image), np.asarray(out_u.image),
+                               atol=3e-4)
+    np.testing.assert_allclose(float(loss_c), float(loss_u), rtol=1e-4)
+    # gradients: the per-Gaussian reduction sums in a different f32 order once
+    # culled rows vanish (unstable gid sort tie order + chunk repartition), and
+    # the covariance chain amplifies reordering noise via large cancelling
+    # terms — compare at leaf scale (verified tight: with saturation disabled
+    # the images agree to 1 ulp and grads to ~3e-4 of leaf max)
+    for gc, gu in zip(jax.tree.leaves(grads_c), jax.tree.leaves(grads_u)):
+        d = float(np.max(np.abs(np.asarray(gc) - np.asarray(gu))))
+        scale = float(np.max(np.abs(np.asarray(gu)))) + 1e-12
+        assert d <= 2e-3 * scale + 1e-4, (d, scale)
