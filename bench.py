@@ -100,7 +100,7 @@ def build_scene(n, width, height, seed=0, target_pairs_per_gaussian=4.0,
 
 
 def run_config(n, width, height, *, tile_size, chunk, pair_budget, iters,
-               target_pairs_per_gaussian=4.0, tight_cull=True):
+               target_pairs_per_gaussian=4.0, tight_cull=True, auto_kept=False):
     """Compile + time the jitted fwd+bwd step for one scene density. Returns a
     dict of measurements."""
     from gsplat_tpu.render.render import render
@@ -148,9 +148,62 @@ def run_config(n, width, height, *, tile_size, chunk, pair_budget, iters,
         jax.block_until_ready(compiled(g))
         best = min(best, time.time() - t0)
 
+    kept_ms = None
+    if auto_kept:
+        # probe the culled pair count with a binning-only jit (the cull is
+        # gated off in the plain B2-regime pass, so n_culled there is 0);
+        # kept_budget < pair_budget forces the cull columns on
+        from gsplat_tpu.render.binning import bin_gaussians
+        from gsplat_tpu.render.project import project_gaussians
+
+        @jax.jit
+        def probe(g):
+            proj = project_gaussians(g, cam)
+            b = bin_gaussians(
+                proj.mean2d, proj.radius, proj.depth,
+                width=width, height=height, tile_size=tile_size, chunk=chunk,
+                pair_budget=pair_budget, cull_conic=proj.conic,
+                cull_opacity=proj.opacity, kept_budget=pair_budget - chunk,
+            )
+            return b.n_pairs, b.n_culled
+
+        np_probe, nc_probe = jax.block_until_ready(probe(g))
+        n_culled = int(nc_probe)
+
+    if auto_kept and int(n_culled) > 0:
+        # second pass: size every post-sort stage by the culled pair count
+        # (the adaptive-budget equivalent of what a training run converges to)
+        kept = -(-int(int(n_pairs) - int(n_culled) + chunk) // chunk) * chunk
+
+        @jax.jit
+        def fwd_bwd_kept(g):
+            def loss_fn(params):
+                out = render(
+                    cam, g.with_params(params), bg,
+                    tile_size=tile_size, chunk=chunk, pair_budget=pair_budget,
+                    tight_cull=tight_cull, kept_budget=kept,
+                )
+                return photometric_loss(out.image, cam.image, 0.2), out.n_dropped
+
+            (loss, nd), grads = jax.value_and_grad(loss_fn, has_aux=True)(g.params())
+            return loss, nd, grads["xyz"]
+
+        print(f"compiling kept-budget pass (kept={kept})", file=sys.stderr,
+              flush=True)
+        ck = fwd_bwd_kept.lower(g).compile()
+        loss_k, nd_k, gk = jax.block_until_ready(ck(g))
+        assert int(nd_k) == 0 and bool(jnp.isfinite(loss_k)), (int(nd_k), loss_k)
+        kept_ms = float("inf")
+        for _ in range(iters):
+            t0 = time.time()
+            jax.block_until_ready(ck(g))
+            kept_ms = min(kept_ms, time.time() - t0)
+        kept_ms = round(kept_ms * 1000, 2)
+
     pixels = width * height
     return {
         "step_ms": round(best * 1000, 2),
+        "kept_step_ms": kept_ms,
         "pix_per_s": round(pixels / best, 1),
         "pairs": int(n_pairs),
         "pairs_per_pixel": round(int(n_pairs) / pixels, 2),
@@ -185,7 +238,7 @@ def main():
         dense = sparse if skip_dense else run_config(
             n, width, height, tile_size=tile_size, chunk=chunk_arg,
             pair_budget=5 << 23, iters=3, target_pairs_per_gaussian=33.0,
-            tight_cull=tight_cull,
+            tight_cull=tight_cull, auto_kept=tight_cull,
         )
     else:  # smoke fallback (BASELINE config 0 scale)
         n, width, height = 2_000, 256, 256
@@ -224,6 +277,7 @@ def main():
         "dense_pairs_per_pixel": dense["pairs_per_pixel"],
         "culled": sparse["culled"],
         "dense_culled": dense["culled"],
+        "dense_kept_step_ms": dense.get("kept_step_ms"),
         "vpu_sol_ms": round(vpu_sol_ms["sparse"], 2),
         "dense_vpu_sol_ms": round(vpu_sol_ms["dense"], 2),
         "vs_vpu_sol": round(vs_vpu, 4),

@@ -141,6 +141,7 @@ def bin_gaussians(
     pair_budget: int,
     cull_conic: jnp.ndarray = None,
     cull_opacity: jnp.ndarray = None,
+    kept_budget: int = None,
 ) -> Binning:
     """Build the sorted compact (Gaussian, tile) pair layout + per-tile tables.
 
@@ -159,19 +160,28 @@ def bin_gaussians(
     pairs on trained scenes. Culled pairs still occupy expansion SLOTS
     (n_pairs/budget semantics unchanged); the win is in every pair-proportional
     stage after the sort.
+
+    kept_budget (defaults to pair_budget) sizes the POST-SORT stages: the sort
+    compacts culled/invalid pairs to the tail, so the attribute gather, the
+    kernels, the backward d-array, and the gradient reduction only need the
+    kept prefix. Kept pairs beyond kept_budget are dropped and counted in
+    n_dropped (the driver's adaptive-budget loop handles growth).
     """
     assert pair_budget % chunk == 0, (pair_budget, chunk)
+    if kept_budget is None:
+        kept_budget = pair_budget
+    kept_budget = min(kept_budget, pair_budget)
     n = mean2d.shape[0]
     tw, th = tile_grid(width, height, tile_size)
     num_tiles = tw * th
     # The cull test needs 6 per-pair attribute columns. In the gather regime
     # they ride the existing per-row gather for free; in the B2 regime
     # (pair_budget >= 8n) each extra column adds a pair-long scatter+cumsum
-    # (~23 ms/col at 42M pairs on v5e) while the cull can only shrink the
-    # kernels there (every sort/gather stays budget-sized) — a net loss until
-    # the kept-pair budget split lands, so the cull is gated to gather-regime
-    # densities.
-    do_cull = cull_conic is not None and pair_budget < 8 * n
+    # (~23 ms/col at 42M pairs on v5e), which only pays off when a reduced
+    # kept_budget shrinks the post-sort stages.
+    do_cull = cull_conic is not None and (
+        pair_budget < 8 * n or kept_budget < pair_budget
+    )
 
     x0, y0, x1, y1 = tile_rects(mean2d, radius, tw, th, tile_size)
     rect_w = jnp.maximum(x1 - x0, 0)
@@ -278,11 +288,15 @@ def bin_gaussians(
     key = pack_sort_key(tile, pair_depth, num_tiles)
     key_s, gid_s = jax.lax.sort((key, pair_gid), num_keys=2, is_stable=False)
 
-    # per-tile segment boundaries on the sorted array (tiny: num_tiles-sized)
+    # per-tile segment boundaries on the sorted array (tiny: num_tiles-sized);
+    # clamped to kept_budget — the sort compacts culled/invalid pairs to the
+    # tail, so the kept prefix is exactly the pairs the kernels composite
     db = depth_shift(num_tiles)
     tids = jnp.arange(num_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(key_s, tids << db, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(key_s, (tids + 1) << db, side="left").astype(jnp.int32)
+    starts = jnp.minimum(starts, kept_budget)
+    ends = jnp.minimum(ends, kept_budget)
     tile_count = ends - starts
     # backward output regions: one aligned span per tile covering the same
     # chunk count the kernel sweeps (head + count, rounded up)
@@ -298,8 +312,12 @@ def bin_gaussians(
             [jnp.zeros(1, jnp.int32), jnp.cumsum(valid_k.astype(jnp.int32))]
         )
         gauss_cum = K[jnp.minimum(cum, pair_budget)]
+        kept_total = K[-1]
     else:
         gauss_cum = cum
+        kept_total = jnp.minimum(total, pair_budget)
+    gauss_cum = jnp.minimum(gauss_cum, kept_budget)
+    n_dropped = n_dropped + jnp.maximum(kept_total - kept_budget, 0)
 
     return Binning(
         gid_s=gid_s,

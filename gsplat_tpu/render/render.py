@@ -161,6 +161,7 @@ def render(
     interpret: Optional[bool] = None,
     region: Optional[tuple] = None,
     tight_cull: bool = True,
+    kept_budget: Optional[int] = None,
 ) -> RenderOutput:
     """Render `g` through `cam` over background `bg` (3,).
 
@@ -182,6 +183,7 @@ def render(
         proj, cam.width, cam.height, bg,
         tile_size=tile_size, chunk=chunk, pair_budget=pair_budget,
         interpret=interpret, region=region, tight_cull=tight_cull,
+        kept_budget=kept_budget,
     )
 
 
@@ -197,12 +199,19 @@ def render_projected(
     interpret: Optional[bool] = None,
     region: Optional[tuple] = None,
     tight_cull: bool = True,
+    kept_budget: Optional[int] = None,
 ) -> RenderOutput:
     """Bin + rasterize a pre-computed `Projection` (render.project.Projection).
 
     tight_cull drops bounding-rect (Gaussian, tile) pairs whose max alpha in
     the tile is provably < 1/255 (exact quadratic min over the tile box) — the
     rendered image is identical, the kernels sweep fewer chunks.
+
+    kept_budget (< pair_budget) additionally sizes every post-sort stage (attr
+    gather, kernels, backward d-array, gradient reduction) by the culled pair
+    count instead of the expansion slot count — the dense-scene lever, since
+    the sort compacts culled pairs to the tail. Kept overflow shows up in
+    n_dropped exactly like slot overflow.
 
     Split out of `render()` so the sharded-Gaussian SPMD step can project each
     Gaussian shard on its owner device, exchange the (much smaller) projected
@@ -214,8 +223,11 @@ def render_projected(
         y0, height = region
     tw, th = tile_grid(width, height, tile_size)
     num_tiles = tw * th
-    # the kernels DMA chunk-aligned supersets of segments: budget must align
+    # the kernels DMA chunk-aligned supersets of segments: budgets must align
     pair_budget = -(-pair_budget // chunk) * chunk
+    if kept_budget is None:
+        kept_budget = pair_budget
+    kept_budget = min(-(-kept_budget // chunk) * chunk, pair_budget)
 
     if y0 is not None:
         shift = jnp.stack(
@@ -233,6 +245,7 @@ def render_projected(
         cull_opacity=(
             jax.lax.stop_gradient(proj.opacity) if tight_cull else None
         ),
+        kept_budget=kept_budget,
     )
 
     # differentiable per-Gaussian attrs with an inert null row at index N
@@ -241,10 +254,11 @@ def render_projected(
 
     if not interpret and chunk % 128 != 0:
         raise ValueError(f"chunk must be a multiple of 128 on TPU, got {chunk}")
-    static = (num_tiles, tw, tile_size, chunk, pair_budget, bool(interpret))
+    # every post-sort stage sees only the kept prefix of the sorted pairs
+    static = (num_tiles, tw, tile_size, chunk, kept_budget, bool(interpret))
     tiles = _rasterize(
-        attrs, binning.gid_s, binning.tile_start, binning.tile_count,
-        binning.out_start, binning.gauss_cum, static,
+        attrs, binning.gid_s[:kept_budget], binning.tile_start,
+        binning.tile_count, binning.out_start, binning.gauss_cum, static,
     )
 
     rgb, transmittance = untile_image(tiles, tw, th, tile_size, width, height)

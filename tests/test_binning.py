@@ -179,3 +179,59 @@ def test_tight_cull_identical_image_and_grads():
         d = float(np.max(np.abs(np.asarray(gc) - np.asarray(gu))))
         scale = float(np.max(np.abs(np.asarray(gu)))) + 1e-12
         assert d <= 2e-3 * scale + 1e-4, (d, scale)
+
+
+def test_kept_budget_split():
+    """Post-sort stages sized by kept_budget: identical image with a
+    sufficient kept budget, n_dropped accounting when it is too small."""
+    import jax
+
+    from tests.fixtures import look_at_rig
+    from gsplat_tpu.core.camera import make_camera
+    from gsplat_tpu.core.gaussians import create_from_pcd
+    from gsplat_tpu.render.render import render
+
+    rng = np.random.default_rng(7)
+    n = 60
+    g = create_from_pcd(rng.normal(size=(n, 3)) * 0.6, rng.random((n, 3)),
+                        capacity=64)
+    sc = np.stack([rng.uniform(-1.0, 0.2, n), rng.uniform(-3.5, -2.0, n),
+                   rng.uniform(-1.5, 0.0, n)], axis=1).astype(np.float32)
+    g = g.replace(scaling=g.scaling.at[:n].set(jnp.asarray(sc)))
+    (R, T), = look_at_rig(1)
+    cam = make_camera(R, T, fovx=1.0, fovy=0.8, width=96, height=64,
+                      image=rng.random((64, 96, 3)).astype(np.float32))
+    bg = jnp.zeros(3, jnp.float32)
+
+    # B2 regime on purpose (budget 4096 >= 8*64): the kept split must also
+    # activate the cull there
+    base = render(cam, g, bg, tile_size=16, chunk=8, pair_budget=1 << 12)
+    assert int(base.n_dropped) == 0
+    n_kept = int(base.n_pairs) - int(base.n_culled)
+
+    kept = -(-max(n_kept, 1) // 8) * 8
+    out = render(cam, g, bg, tile_size=16, chunk=8, pair_budget=1 << 12,
+                 kept_budget=kept)
+    assert int(out.n_culled) > 0          # cull active in the B2 regime now
+    assert int(out.n_dropped) == 0, int(out.n_dropped)
+    np.testing.assert_allclose(np.asarray(out.image), np.asarray(base.image),
+                               atol=3e-4)
+
+    # gradients flow identically through the kept-sized reduction
+    def loss(params, kb):
+        o = render(cam, g.with_params(params), bg, tile_size=16, chunk=8,
+                   pair_budget=1 << 12, kept_budget=kb)
+        return jnp.sum(o.image ** 2)
+
+    g_full = jax.grad(loss)(g.params(), 1 << 12)
+    g_kept = jax.grad(loss)(g.params(), kept)
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_kept)):
+        d = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        scale = float(np.max(np.abs(np.asarray(a)))) + 1e-12
+        assert d <= 2e-3 * scale + 1e-4, (d, scale)
+
+    # starved kept budget: accounted as dropped pairs, not silent corruption
+    starved = render(cam, g, bg, tile_size=16, chunk=8, pair_budget=1 << 12,
+                     kept_budget=max(kept // 4, 8))
+    assert int(starved.n_dropped) > 0
+    assert bool(jnp.all(jnp.isfinite(starved.image)))
