@@ -106,6 +106,9 @@ class MeshParams:
     chunk_size: int = 128        # pairs per DMA block (multiple of 128 on TPU)
     capacity: int = 1 << 17      # initial Gaussian capacity (padded, static)
     pair_budget: int = 1 << 20   # max (Gaussian, tile) pairs per render (static)
+    kept_frac: float = 1.0       # post-sort stage sizing as a fraction of
+                                 # pair_budget (<1 exploits the tight tile
+                                 # cull; overflow grows the budget adaptively)
     precision: str = "f32"       # rasterizer accumulation precision
 
 

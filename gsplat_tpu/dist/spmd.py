@@ -111,6 +111,8 @@ def make_spmd_train_step(
     band_h = _band_height(height, n_tile, mp.tile_size)
     lr_fns = make_lr_fns(opt, spatial_lr_scale)
     budget = pair_budget if pair_budget is not None else mp.pair_budget
+    from gsplat_tpu.train.loop import _kept_budget
+    kept = _kept_budget(mp, budget)
 
     cam_spec = Camera(
         world_view=P(DATA_AXIS), full_proj=P(DATA_AXIS), cam_center=P(DATA_AXIS),
@@ -126,7 +128,7 @@ def make_spmd_train_step(
         out = render(
             cam, g2, bg,
             tile_size=mp.tile_size, chunk=mp.chunk_size,
-            pair_budget=budget,
+            pair_budget=budget, kept_budget=kept,
             mean2d_offset=offsets[0],
             interpret=interpret,
             region=(ti * band_h, band_h),

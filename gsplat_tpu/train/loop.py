@@ -95,6 +95,14 @@ def prepare_output_and_logger(model: ModelParams, all_params) -> Path:
     return out
 
 
+def _kept_budget(mesh: MeshParams, budget: int) -> Optional[int]:
+    """kept_frac < 1 sizes the post-sort render stages by the tile-cull
+    survivor count (see render.render_projected); None means no split."""
+    if mesh.kept_frac >= 1.0:
+        return None
+    return max(int(budget * mesh.kept_frac), mesh.chunk_size)
+
+
 def make_train_step(
     opt: OptimizationParams,
     mesh: MeshParams,
@@ -109,6 +117,7 @@ def make_train_step(
     driver resizes it adaptively)."""
     lr_fns = make_lr_fns(opt, spatial_lr_scale)
     budget = pair_budget if pair_budget is not None else mesh.pair_budget
+    kept = _kept_budget(mesh, budget)
 
     @jax.jit
     def train_step(
@@ -129,6 +138,7 @@ def make_train_step(
                 tile_size=mesh.tile_size,
                 chunk=mesh.chunk_size,
                 pair_budget=budget,
+                kept_budget=kept,
                 mean2d_offset=mean2d_offset,
             )
             loss = photometric_loss(out.image, cam.image, opt.lambda_dssim)
