@@ -61,6 +61,8 @@ def main():
     ap.add_argument("--ppg", type=float, default=4.0,
                     help="target pairs per Gaussian (bench scene density)")
     ap.add_argument("--pair_budget", type=int, default=5 << 19)
+    ap.add_argument("--kept_budget", type=int, default=0,
+                    help="post-sort stage size (0 = pair_budget, no split)")
     ns = ap.parse_args()
 
     from bench import build_scene
@@ -75,7 +77,8 @@ def main():
     def f(g):
         def loss_fn(params):
             out = render(cam, g.with_params(params), bg, tile_size=ns.tile_size,
-                         chunk=ns.chunk, pair_budget=ns.pair_budget)
+                         chunk=ns.chunk, pair_budget=ns.pair_budget,
+                         kept_budget=ns.kept_budget or None)
             return photometric_loss(out.image, cam.image, 0.2), out.n_pairs
         (l, npair), grads = jax.value_and_grad(loss_fn, has_aux=True)(g.params())
         return l, npair, grads["xyz"]

@@ -95,6 +95,19 @@ def main():
         report[f"grad_{name}_rel"] = round(rel, 8)
         ok &= rel < 5e-3 and np.isfinite(rel)
 
+    # kept-budget split on hardware: cull + post-sort prefix sizing must not
+    # change the compiled image (up to the T_EPS early-exit chunk boundary)
+    def img_kept(params):
+        out = render(cam, g.with_params(params), bg, interpret=False,
+                     kept_budget=(1 << 14) - 128, **kw)
+        return out.image, out.n_dropped
+
+    img_k, nd_k = jax.jit(img_kept)(g.params())
+    kept_diff = float(jnp.max(jnp.abs(img_k - img_p)))
+    report["kept_split_max_abs_diff"] = round(kept_diff, 8)
+    report["kept_split_dropped"] = int(nd_k)
+    ok &= kept_diff < 3e-4 and int(nd_k) == 0
+
     report["ok"] = bool(ok)
     line = json.dumps(report)
     print(line)
