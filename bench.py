@@ -47,10 +47,15 @@ C_OPS_FWD_BWD = 96
 
 
 def build_scene(n, width, height, seed=0, target_pairs_per_gaussian=4.0,
-                tile_size=16):
+                tile_size=16, aniso=0.0):
     """Synthetic 1M-Gaussian scene with controlled splat sizes (so the pair count
     matches a realistic trained scene rather than exploding). tile_size must
-    match the renderer's to hit the pair target."""
+    match the renderer's to hit the pair target.
+
+    aniso > 0 stretches each splat's major axis by U[1, 1+aniso] and shrinks
+    the minor by the same factor under a random rotation (trained scenes are
+    strongly anisotropic; the bounding-rect pair count inflates with the major
+    axis, which is exactly what the tight tile cull removes)."""
     from gsplat_tpu.core.camera import make_camera
     from gsplat_tpu.core.gaussians import Gaussians
     from gsplat_tpu.core.sh import num_sh_coeffs
@@ -69,6 +74,7 @@ def build_scene(n, width, height, seed=0, target_pairs_per_gaussian=4.0,
     radius_px = tile_size * (math.sqrt(target_pairs_per_gaussian) - 1.0) / 2.0
     sigma = radius_px * z_mean / (3.0 * focal)
 
+    s_an = np.log(rng.uniform(1.0, 1.0 + aniso, n)).astype(np.float32)
     m = num_sh_coeffs(3) - 1
     cap = 1 << int(math.ceil(math.log2(n)))
     pad = lambda a, fill=0.0: np.concatenate(
@@ -79,10 +85,17 @@ def build_scene(n, width, height, seed=0, target_pairs_per_gaussian=4.0,
         f_dc=jnp.asarray(pad(rng.random((n, 3)).astype(np.float32))),
         f_rest=jnp.asarray(np.zeros((cap, m, 3), np.float32)),
         opacity=jnp.asarray(pad(np.full((n, 1), 0.0, np.float32), -30.0)),  # sigmoid->0.5
-        scaling=jnp.asarray(
-            pad(np.full((n, 3), math.log(sigma), np.float32), -30.0)
+        scaling=jnp.asarray(pad(
+            np.log(sigma) + (
+                np.stack([s_an, -s_an, np.zeros(n, np.float32)], axis=1)
+                if aniso > 0 else np.zeros((n, 3), np.float32)
+            ).astype(np.float32), -30.0
+        )),
+        rotation=jnp.asarray(
+            pad(rng.normal(size=(n, 4)).astype(np.float32))
+            if aniso > 0 else
+            np.tile(np.array([[1, 0, 0, 0]], np.float32), (cap, 1))
         ),
-        rotation=jnp.asarray(np.tile(np.array([[1, 0, 0, 0]], np.float32), (cap, 1))),
         max_radii2D=jnp.zeros(cap, jnp.float32),
         xyz_gradient_accum=jnp.zeros(cap, jnp.float32),
         denom=jnp.zeros(cap, jnp.float32),
