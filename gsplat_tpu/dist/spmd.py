@@ -95,7 +95,7 @@ def make_spmd_train_step(
     Call with (g, opt_state, cams, bg, step, ema) where `cams` is a stacked
     Camera batch of exactly mesh.shape['data'] cameras (shard its leaves with
     NamedSharding(mesh, P('data')) for multi-host arrays). Returns
-    (g, opt_state, loss, ema, n_pairs, n_dropped) — the same signature as the
+    (g, opt_state, loss, ema, n_pairs, n_dropped, n_culled) — the same signature as the
     single-device step so the driver's adaptive pair budget and EMA logging
     work identically on a mesh; n_pairs is the MAX over device bands (budget
     sizing must cover the worst shard), n_dropped the total.
@@ -142,6 +142,7 @@ def make_spmd_train_step(
         return loss, (
             out.radii[None], out.visible[None],
             out.n_dropped.reshape(1, 1), out.n_pairs.reshape(1, 1),
+            out.n_culled.reshape(1, 1),
         )
 
     smapped = shard_map(
@@ -151,7 +152,8 @@ def make_spmd_train_step(
         out_specs=(
             P(),
             (P(DATA_AXIS), P(DATA_AXIS),
-             P(DATA_AXIS, TILE_AXIS), P(DATA_AXIS, TILE_AXIS)),
+             P(DATA_AXIS, TILE_AXIS), P(DATA_AXIS, TILE_AXIS),
+             P(DATA_AXIS, TILE_AXIS)),
         ),
         check_vma=False,
     )
@@ -168,11 +170,11 @@ def make_spmd_train_step(
         params = g.params()
         offsets = jnp.zeros((n_data, g.capacity, 2), jnp.float32)
 
-        (loss, (radii, visible, n_dropped, n_pairs)), (pgrads, off_grads) = (
-            jax.value_and_grad(
-                lambda p, o: smapped(p, o, g, cams, bg), argnums=(0, 1), has_aux=True
-            )(params, offsets)
-        )
+        (loss, (radii, visible, n_dropped, n_pairs, n_culled)), (
+            pgrads, off_grads
+        ) = jax.value_and_grad(
+            lambda p, o: smapped(p, o, g, cams, bg), argnums=(0, 1), has_aux=True
+        )(params, offsets)
 
         lrs = current_lrs(lr_fns, step)
         new_params, new_opt_state = adam_update(params, pgrads, opt_state, lrs)
@@ -190,7 +192,7 @@ def make_spmd_train_step(
         new_ema = jnp.where(step <= 1, loss, 0.4 * loss + 0.6 * ema)
         return (
             g_new, new_opt_state, loss, new_ema,
-            jnp.max(n_pairs), jnp.sum(n_dropped),
+            jnp.max(n_pairs), jnp.sum(n_dropped), jnp.sum(n_culled),
         )
 
     return train_step
@@ -302,6 +304,7 @@ def make_sharded_spmd_train_step(
         return loss, (
             out.radii[None], out.visible[None],
             out.n_dropped.reshape(1, 1), out.n_pairs.reshape(1, 1),
+            out.n_culled.reshape(1, 1),
         )
 
     def smapped(params, offsets, g, cams, bg):
@@ -313,7 +316,8 @@ def make_sharded_spmd_train_step(
             out_specs=(
                 P(),
                 (P(DATA_AXIS), P(DATA_AXIS),
-                 P(DATA_AXIS, TILE_AXIS), P(DATA_AXIS, TILE_AXIS)),
+                 P(DATA_AXIS, TILE_AXIS), P(DATA_AXIS, TILE_AXIS),
+                 P(DATA_AXIS, TILE_AXIS)),
             ),
             check_vma=False,
         )(params, offsets, g, cams, bg)
@@ -324,12 +328,12 @@ def make_sharded_spmd_train_step(
         params = g.params()
         offsets = jnp.zeros((n_data, g.capacity, 2), jnp.float32)
 
-        (loss, (radii, visible, n_dropped, n_pairs)), (pgrads, off_grads) = (
-            jax.value_and_grad(
-                lambda p, o: smapped(p, o, g, cams, bg), argnums=(0, 1),
-                has_aux=True,
-            )(params, offsets)
-        )
+        (loss, (radii, visible, n_dropped, n_pairs, n_culled)), (
+            pgrads, off_grads
+        ) = jax.value_and_grad(
+            lambda p, o: smapped(p, o, g, cams, bg), argnums=(0, 1),
+            has_aux=True,
+        )(params, offsets)
 
         lrs = current_lrs(lr_fns, step)
         new_params, new_opt_state = adam_update(params, pgrads, opt_state, lrs)
@@ -341,7 +345,7 @@ def make_sharded_spmd_train_step(
         new_ema = jnp.where(step <= 1, loss, 0.4 * loss + 0.6 * ema)
         return (
             g_new, new_opt_state, loss, new_ema,
-            jnp.max(n_pairs), jnp.sum(n_dropped),
+            jnp.max(n_pairs), jnp.sum(n_dropped), jnp.sum(n_culled),
         )
 
     return train_step

@@ -133,10 +133,11 @@ def _valid_row(j, head, count, chunk):
     return (idx >= head) & (idx < head + count)
 
 
-def _alphas_from_power(power, op_col, valid_col):
+def _alphas_from_power(power, op_col):
     """Upstream alpha masking: skip power>0, clamp at 0.99, zero below 1/255;
-    rows outside the tile's segment are masked to alpha 0 (and grad-chain 0).
-    power (chunk, npix); op_col/valid_col (chunk, 1).
+    power (chunk, npix); op_col (chunk, 1) — pre-multiplied by the segment
+    validity mask, so masked rows have op 0, raw 0, and therefore alpha 0 and
+    grad-chain 0 without any per-(pair, pixel) mask multiply.
 
     power>0 is folded into the exponent (-100 -> exp underflows to exactly 0 on
     TPU's flush-to-zero path, and to <1e-43 < ALPHA_MIN/op elsewhere), so the
@@ -145,8 +146,8 @@ def _alphas_from_power(power, op_col, valid_col):
     G = jnp.exp(jnp.where(power > 0.0, -100.0, power))
     raw = op_col * G  # broadcast (chunk,1) * (chunk,npix)
     keep = raw >= ALPHA_MIN
-    alpha = jnp.where(keep, jnp.minimum(raw, ALPHA_MAX), 0.0) * valid_col
-    chain = (keep & (raw <= ALPHA_MAX)).astype(jnp.float32) * valid_col
+    alpha = jnp.where(keep, jnp.minimum(raw, ALPHA_MAX), 0.0)
+    chain = (keep & (raw <= ALPHA_MAX)).astype(jnp.float32)
     return alpha, chain, G
 
 
@@ -239,8 +240,8 @@ def _fwd_kernel(
         a = buf[slot]                     # (16, chunk)
         U, _, _, _, _, _, _ = _chunk_U(a, ox, oy)
         power = _dg(U, V, 0, 0)           # (chunk, npix)
-        valid = _valid_column(j, head, count, chunk)
-        alpha, _, _ = _alphas_from_power(power, _op_column(a), valid)
+        op_v = _op_column(a) * _valid_column(j, head, count, chunk)
+        alpha, _, _ = _alphas_from_power(power, op_v)
 
         lg = jnp.log1p(-alpha)
         cum = _cumsum0(lg)
@@ -328,15 +329,14 @@ def _bwd_kernel(
             odma(slot, j - 2).wait()
 
         a = ibuf[slot]
-        valid = _valid_column(j, head, count, chunk)
         key_row = jnp.where(
             _valid_row(j, head, count, chunk), a[9:10, :], KEY_INVALID
         )  # (1, chunk) f32 gid values
 
         U, mxl, myl, ca, cb, cc, _ = _chunk_U(a, ox, oy)
-        op_col = _op_column(a)
+        op_col = _op_column(a) * _valid_column(j, head, count, chunk)
         power = _dg(U, V, 0, 0)
-        alpha, chain, G = _alphas_from_power(power, op_col, valid)
+        alpha, chain, G = _alphas_from_power(power, op_col)
         rgb = a[5:8, :]
 
         lg = jnp.log1p(-alpha)

@@ -154,7 +154,8 @@ def make_train_step(
         g_new = add_densification_stats(g_new, mean2d_grad, out.radii, width, height)
         # EMA on device: the driver must not force a host sync every iteration
         new_ema = jnp.where(step <= 1, loss, 0.4 * loss + 0.6 * ema)
-        return g_new, new_opt_state, loss, new_ema, out.n_pairs, out.n_dropped
+        return (g_new, new_opt_state, loss, new_ema,
+                out.n_pairs, out.n_dropped, out.n_culled)
 
     return train_step
 
@@ -390,7 +391,7 @@ def train(
                 step_input = stack_cameras(picks)
             else:
                 step_input = cam
-            g, opt_state, loss, ema_loss, n_pairs, n_dropped = train_step(
+            g, opt_state, loss, ema_loss, n_pairs, n_dropped, n_culled = train_step(
                 g, opt_state, step_input, step_bg,
                 jnp.asarray(iteration, jnp.int32), ema_loss,
             )
@@ -444,6 +445,7 @@ def train(
                     iteration, loss=float(loss), ema_loss=float(ema_loss),
                     n_gaussians=int(g.n_live), capacity=g.capacity,
                     it_per_s=round(rate, 2), n_dropped_pairs=int(n_dropped),
+                    n_culled_pairs=int(n_culled),
                 )
 
             if iteration in other.test_iterations:
