@@ -46,7 +46,8 @@ def enable_collective_overlap() -> None:
     # LIBTPU_INIT_ARGS, not XLA_FLAGS: the CPU/GPU XLA flag parser aborts the
     # process on unknown --xla_tpu_* flags, while libtpu alone reads this var.
     cur = os.environ.get("LIBTPU_INIT_ARGS", "")
-    add = " ".join(f for f in flags if f.split("=")[0] not in cur)
+    present = {t.split("=")[0] for t in cur.split()}
+    add = " ".join(f for f in flags if f.split("=")[0] not in present)
     if add:
         os.environ["LIBTPU_INIT_ARGS"] = (cur + " " + add).strip()
 

@@ -232,6 +232,8 @@ def make_sharded_spmd_train_step(
     band_h = _band_height(height, n_tile, mp.tile_size)
     lr_fns = make_lr_fns(opt, spatial_lr_scale)
     budget = pair_budget if pair_budget is not None else mp.pair_budget
+    from gsplat_tpu.train.loop import _kept_budget
+    kept = _kept_budget(mp, budget)
 
     from gsplat_tpu.render.project import Projection, project_gaussians
     from gsplat_tpu.render.render import render_projected
@@ -295,7 +297,8 @@ def make_sharded_spmd_train_step(
         out = render_projected(
             proj, width, height, bg,
             tile_size=mp.tile_size, chunk=mp.chunk_size, pair_budget=budget,
-            interpret=interpret, region=(ti * band_h, band_h),
+            kept_budget=kept, interpret=interpret,
+            region=(ti * band_h, band_h),
         )
         full_img = jax.lax.all_gather(out.image, TILE_AXIS, axis=0, tiled=True)
         full_img = full_img[:height]

@@ -102,9 +102,12 @@ def lpips(params, img0, img1):
         return jnp.transpose(x, (2, 0, 1))[None]               # (1, 3, H, W)
 
     def conv(x, w, b):
+        # HIGHEST: TPU convs default to bf16 input truncation, which compounds
+        # through 13 layers and shifts the metric by scene-quality magnitudes
         y = lax.conv_general_dilated(
             x, jnp.asarray(w), window_strides=(1, 1), padding=((1, 1), (1, 1)),
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=lax.Precision.HIGHEST,
         )
         return jnp.maximum(y + jnp.asarray(b)[None, :, None, None], 0.0)
 

@@ -316,7 +316,15 @@ def bin_gaussians(
     else:
         gauss_cum = cum
         kept_total = jnp.minimum(total, pair_budget)
-    gauss_cum = jnp.minimum(gauss_cum, kept_budget)
+    # kept overflow: the dropped suffix is (tile,depth)-ordered, NOT gid-
+    # ordered, so the expansion-order boundary table no longer matches the
+    # d-array contents — a clamp would sum rows into the WRONG Gaussians
+    # (every segment after the first dropped pair shifts by one). Zero the
+    # boundary table instead: the rasterizer contributes exactly zero
+    # gradient for the (<=10, see the driver's adaptive-budget lag) overflow
+    # steps, n_dropped reports the overflow, and the driver regrows.
+    overflow = kept_total > kept_budget
+    gauss_cum = jnp.where(overflow, 0, jnp.minimum(gauss_cum, kept_budget))
     n_dropped = n_dropped + jnp.maximum(kept_total - kept_budget, 0)
 
     return Binning(

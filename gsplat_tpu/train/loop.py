@@ -16,6 +16,7 @@ driver'). This implements the full upstream 3DGS loop, TPU-first:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import random
 import time
@@ -222,6 +223,12 @@ def train(
     pair_budget = mesh.pair_budget
     if "pair_budget" in resume_extras:  # resume with the grown budget, no re-ramp
         pair_budget = max(pair_budget, int(resume_extras["pair_budget"]))
+    if mesh.data_axis == -1:  # auto: consume every device (make_mesh contract)
+        assert len(jax.devices()) % mesh.tile_axis == 0, (
+            len(jax.devices()), mesh.tile_axis)
+        mesh = dataclasses.replace(
+            mesh, data_axis=len(jax.devices()) // mesh.tile_axis
+        )
     n_mesh_dev = mesh.data_axis * mesh.tile_axis
     spmd = n_mesh_dev > 1
     multihost = False

@@ -230,8 +230,16 @@ def test_kept_budget_split():
         scale = float(np.max(np.abs(np.asarray(a)))) + 1e-12
         assert d <= 2e-3 * scale + 1e-4, (d, scale)
 
-    # starved kept budget: accounted as dropped pairs, not silent corruption
+    # starved kept budget: accounted as dropped pairs, not silent corruption —
+    # and the rasterizer contributes EXACTLY ZERO gradient on overflow steps
+    # (the dropped suffix is (tile,depth)-ordered, so the expansion-order
+    # boundary table cannot attribute the surviving rows; summing with a
+    # clamped table would credit rows to the wrong Gaussians)
+    starved_kb = max(kept // 4, 8)
     starved = render(cam, g, bg, tile_size=16, chunk=8, pair_budget=1 << 12,
-                     kept_budget=max(kept // 4, 8))
+                     kept_budget=starved_kb)
     assert int(starved.n_dropped) > 0
     assert bool(jnp.all(jnp.isfinite(starved.image)))
+    g_starved = jax.grad(loss)(g.params(), starved_kb)
+    for leaf in jax.tree.leaves(g_starved):
+        assert float(np.max(np.abs(np.asarray(leaf)))) == 0.0
