@@ -89,3 +89,44 @@ def test_checkpoint_resume(trained_model, tmp_path):
         "--start_checkpoint", str(ck), "--save_iterations", "8", "--quiet",
     ])
     assert (out3 / "point_cloud" / "iteration_8" / "point_cloud.ply").exists()
+
+
+def test_kept_frac_cli(trained_model, tmp_path):
+    """--kept_frac < 1 trains end-to-end and logs culled-pair telemetry."""
+    scene_root, _ = trained_model
+    out = tmp_path / "model_kept"
+
+    from gsplat_tpu.cli import main
+
+    main([
+        "--source_path", str(scene_root), "--model_path", str(out),
+        "--iterations", "100", "--capacity", "64",
+        "--pair_budget", "4096", "--chunk_size", "32", "--kept_frac", "0.9",
+        "--quiet",
+    ])
+    lines = [json.loads(l) for l in open(out / "metrics.jsonl")]
+    steps = [l for l in lines if "n_culled_pairs" in l]
+    assert steps, "no per-step telemetry logged"
+    assert all(l["n_dropped_pairs"] == 0 for l in steps)
+
+
+def test_collective_overlap_flag_dedup(monkeypatch):
+    """Whole-token dedup: a preset long flag must not suppress its prefix."""
+    import os
+
+    from gsplat_tpu.dist.mesh import enable_collective_overlap
+
+    monkeypatch.setenv(
+        "LIBTPU_INIT_ARGS",
+        "--xla_tpu_enable_async_collective_fusion_fuse_all_gather=false",
+    )
+    enable_collective_overlap()
+    toks = os.environ["LIBTPU_INIT_ARGS"].split()
+    assert "--xla_tpu_enable_async_collective_fusion=true" in toks
+    assert "--xla_tpu_enable_latency_hiding_scheduler=true" in toks
+    # the user's explicit setting is preserved, not duplicated
+    assert toks.count(
+        "--xla_tpu_enable_async_collective_fusion_fuse_all_gather=false") == 1
+    assert not any(
+        t.startswith("--xla_tpu_enable_async_collective_fusion_fuse") and
+        t.endswith("true") for t in toks)
