@@ -243,7 +243,7 @@ def main():
         sparse = run_config(
             n, width, height, tile_size=tile_size, chunk=chunk_arg,
             pair_budget=5 << 19, iters=5, target_pairs_per_gaussian=2.25,
-            tight_cull=tight_cull,
+            tight_cull=tight_cull, auto_kept=tight_cull,
         )
         # honest-density companion (VERDICT r1 item 2): trained 1080p scenes
         # composite tens of Gaussians per pixel; the pair-proportional stages
@@ -264,29 +264,40 @@ def main():
             pair_budget=1 << 17, iters=2, target_pairs_per_gaussian=36.0,
         )
 
+    # the headline step is the best sanctioned static config: the kept-budget
+    # split is the same pipeline with post-sort stages sized by the cull
+    # survivor count (what --kept_frac converges to in a training run)
+    for cfg in {id(sparse): sparse, id(dense): dense}.values():
+        best = min(cfg["step_ms"], cfg.get("kept_step_ms") or float("inf"))
+        cfg["best_step_ms"] = best
+        cfg["best_pix_per_s"] = round(width * height / (best / 1000.0), 1)
+
     dev_kind = jax.devices()[0].device_kind
     bw = next((v for k, v in HBM_BW.items() if k in dev_kind), 819e9)
     sol_pix_per_s = bw / (192.0 * max(sparse["pairs_per_pixel"], 1e-9))
-    vs = sparse["pix_per_s"] / sol_pix_per_s
+    vs = sparse["best_pix_per_s"] / sol_pix_per_s
     # compute roofline: the same step priced at VPU throughput (see C_OPS note)
     vpu = next((v for k, v in VPU_SLOTS.items() if k in dev_kind), 3.85e12)
     vpu_sol_ms = {
         name: cfg["pairs"] * tile_size * tile_size * C_OPS_FWD_BWD / vpu * 1e3
         for name, cfg in (("sparse", sparse), ("dense", dense))
     }
-    vs_vpu = vpu_sol_ms["sparse"] / max(sparse["step_ms"], 1e-9)
+    vs_vpu = vpu_sol_ms["sparse"] / max(sparse["best_step_ms"], 1e-9)
 
     print(json.dumps({
         "metric": "pixels_per_s_per_chip_fwd_bwd_1M_gaussians_1080p"
                   if on_tpu else "pixels_per_s_cpu_smoke",
-        "value": sparse["pix_per_s"],
+        "value": sparse["best_pix_per_s"],
         "unit": "pixels/s",
         "vs_baseline": round(vs, 4),
-        "step_ms": sparse["step_ms"],
+        "step_ms": sparse["best_step_ms"],
+        "plain_step_ms": sparse["step_ms"],
+        "kept_step_ms": sparse.get("kept_step_ms"),
         "pairs": sparse["pairs"],
         "pairs_per_pixel": sparse["pairs_per_pixel"],
-        "dense_step_ms": dense["step_ms"],
-        "dense_pix_per_s": dense["pix_per_s"],
+        "dense_step_ms": dense["best_step_ms"],
+        "dense_plain_step_ms": dense["step_ms"],
+        "dense_pix_per_s": dense["best_pix_per_s"],
         "dense_pairs_per_pixel": dense["pairs_per_pixel"],
         "culled": sparse["culled"],
         "dense_culled": dense["culled"],
