@@ -34,6 +34,7 @@ import json
 import socket
 import struct
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -148,8 +149,16 @@ class NetworkGUIServer:
 
     def _serve_conn(self, conn: socket.socket, addr) -> None:
         try:
-            head = conn.recv(4, socket.MSG_PEEK)
-            if head[:4].ljust(4) in _HTTP_VERBS or head[:3] == b"GET":
+            # a short first TCP segment must not misclassify the protocol:
+            # peek until 4 bytes are buffered (or the peer closed)
+            head = b""
+            while len(head) < 4:
+                head = conn.recv(4, socket.MSG_PEEK)
+                if not head:
+                    return
+                if len(head) < 4:
+                    time.sleep(0.005)
+            if head[:4] in _HTTP_VERBS or head[:3] == b"GET":
                 # hand the raw socket to the HTTP preview handler
                 self._http_handler(conn, addr, None)
                 return
@@ -168,7 +177,8 @@ class NetworkGUIServer:
             finally:
                 with self._lock:
                     self._sibr_alive -= 1
-        except (ConnectionError, OSError, ValueError, json.JSONDecodeError):
+        except (ConnectionError, OSError, ValueError, json.JSONDecodeError,
+                KeyError, TypeError, IndexError):
             pass
         finally:
             try:
@@ -192,12 +202,9 @@ class NetworkGUIServer:
         """Browser-preview path (same contract as viewer.ViewerServer)."""
         if self._sock is None:
             return
-        from PIL import Image as PILImage
+        from gsplat_tpu.viewer import write_preview
 
-        arr = (np.clip(np.asarray(image), 0, 1) * 255 + 0.5).astype(np.uint8)
-        tmp = self.model_dir / ".preview.tmp.jpg"
-        PILImage.fromarray(arr).save(tmp, quality=88)
-        tmp.replace(self.model_dir / "preview.jpg")
+        write_preview(self.model_dir, image)
 
     def close(self) -> None:
         if self._sock is not None:

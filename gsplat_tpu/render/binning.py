@@ -58,8 +58,8 @@ def depth_shift(num_tiles: int) -> int:
     emulated and a 2-key sort moves an extra full operand through every pass).
     Positive IEEE-754 floats compare correctly as their int bits, so the top
     `db` bits of the depth's bit pattern are an order-preserving quantization:
-    at 1080p/tile16 (8160 tiles, db=17) depths are ordered exactly unless they
-    agree to ~2^-10 relative, in which case the stable sort falls back to
+    at 1080p/tile16 (8160 tiles, tile_bits=13, db=18) depths are ordered
+    exactly unless they agree to ~2^-9 relative, in which case the stable sort falls back to
     Gaussian-index order (upstream resolves such near-ties by full mantissa;
     the compositing difference for splats at equal-to-1e-3 depth is below
     render tolerance). The reference oracle quantizes identically so parity

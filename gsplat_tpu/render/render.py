@@ -254,6 +254,14 @@ def render_projected(
 
     if not interpret and chunk % 128 != 0:
         raise ValueError(f"chunk must be a multiple of 128 on TPU, got {chunk}")
+    if attrs.shape[0] > (1 << 24):
+        # gids ride the kernels as f32 VALUES (exact only below 2^24); beyond
+        # that the gradient key sort would silently merge adjacent Gaussians
+        # and misattribute gradients. Fail loudly instead.
+        raise ValueError(
+            f"capacity {attrs.shape[0] - 1} exceeds the 2^24 exact-f32-id "
+            "limit of the gradient reduction"
+        )
     # every post-sort stage sees only the kept prefix of the sorted pairs
     static = (num_tiles, tw, tile_size, chunk, kept_budget, bool(interpret))
     tiles = _rasterize(

@@ -162,6 +162,17 @@ def make_train_step(
 
 
 @functools.partial(jax.jit, static_argnames=("tile_size", "chunk", "pair_budget"))
+def _gui_render(g, cam, bg, scaling_modifier, *, tile_size, chunk, pair_budget):
+    """Jitted network-GUI view render: eager dispatch of the whole pipeline on
+    a tunneled TPU costs seconds per viewer frame (per-op roundtrips), a
+    compiled call milliseconds. The jit cache keys on the camera's static
+    (width, height) via the Camera pytree plus the static budget knobs."""
+    return render(cam, g, bg, tile_size=tile_size, chunk=chunk,
+                  pair_budget=pair_budget,
+                  scaling_modifier=scaling_modifier).image
+
+
+@functools.partial(jax.jit, static_argnames=("tile_size", "chunk", "pair_budget"))
 def eval_render(g, cam, bg, *, tile_size, chunk, pair_budget):
     return render(cam, g, bg, tile_size=tile_size, chunk=chunk,
                   pair_budget=pair_budget).image
@@ -276,7 +287,11 @@ def train(
     # silent on port conflicts. One port: HTTP requests get the browser
     # preview, anything else speaks upstream's network_gui wire format.
     viewer = None
-    if not other.quiet and is_main:
+    # multi-host: every preview/GUI render would be a single-process dispatch
+    # of arrays replicated over the GLOBAL mesh (non-addressable from process
+    # 0 alone) — invalid in JAX. The viewer is single-/multi-device
+    # single-process only.
+    if not other.quiet and is_main and jax.process_count() == 1:
         from gsplat_tpu.network_gui import NetworkGUIServer
 
         viewer = NetworkGUIServer(
@@ -326,12 +341,12 @@ def train(
         try:
             if req.world_view is not None:
                 cam = camera_from_request(req)
-                out = render(
-                    cam, g, bg, tile_size=mesh.tile_size, chunk=mesh.chunk_size,
+                img = _gui_render(
+                    g, cam, bg, jnp.float32(req.scaling_modifier),
+                    tile_size=mesh.tile_size, chunk=mesh.chunk_size,
                     pair_budget=pair_budget,
-                    scaling_modifier=req.scaling_modifier,
                 )
-                img_bytes = image_to_bytes(out.image)
+                img_bytes = image_to_bytes(img)
         except Exception:
             pass  # GUI is best-effort; never kill training for a bad request
         req.reply(img_bytes)

@@ -88,6 +88,18 @@ class _Handler(BaseHTTPRequestHandler):
             pass
 
 
+def write_preview(model_dir, image: np.ndarray) -> None:
+    """Atomic preview.jpg write shared by the HTTP viewer and the network GUI
+    (clip to [0,1], round, tmp-then-replace so readers never see a torn file).
+    """
+    from PIL import Image as PILImage
+
+    arr = (np.clip(np.asarray(image), 0, 1) * 255 + 0.5).astype(np.uint8)
+    tmp = model_dir / ".preview.tmp.jpg"
+    PILImage.fromarray(arr).save(tmp, quality=88)
+    tmp.replace(model_dir / "preview.jpg")
+
+
 class ViewerServer:
     """Serves http://<ip>:<port>/ for a model directory; publish() posts frames."""
 
@@ -109,12 +121,7 @@ class ViewerServer:
         """image: (H,W,3) float in [0,1]; written atomically as preview.jpg."""
         if self._server is None:
             return
-        from PIL import Image as PILImage
-
-        arr = (np.clip(np.asarray(image), 0, 1) * 255 + 0.5).astype(np.uint8)
-        tmp = self.model_dir / ".preview.tmp.jpg"
-        PILImage.fromarray(arr).save(tmp, quality=88)
-        tmp.replace(self.model_dir / "preview.jpg")
+        write_preview(self.model_dir, image)
 
     def close(self) -> None:
         if self._server is not None:
