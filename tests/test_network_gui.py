@@ -196,3 +196,43 @@ def _cpu_env():
     env = dict(os.environ)
     env["GSPLAT_CACHE_DIR"] = "/tmp/jax_cache_tests"
     return env
+
+
+def test_split_first_segment_still_http(tmp_path):
+    """A 2-byte first TCP segment must not misclassify HTTP as SIBR."""
+    (tmp_path / "metrics.jsonl").write_text("{}\n")
+    srv = NetworkGUIServer(tmp_path, ip="127.0.0.1", port=0)
+    try:
+        c = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        c.sendall(b"GE")
+        time.sleep(0.1)
+        c.sendall(b"T / HTTP/1.1\r\nHost: x\r\n\r\n")
+        c.settimeout(5)
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = c.recv(4096)
+            if not chunk:
+                break
+            resp += chunk
+        assert resp.startswith(b"HTTP/1.0 200"), resp[:40]
+        c.close()
+    finally:
+        srv.close()
+
+
+def test_probe_connect_close_is_harmless(tmp_path):
+    """Port scanners that connect and immediately close must not crash the
+    server (empty MSG_PEEK -> clean return) and it keeps serving."""
+    srv = NetworkGUIServer(tmp_path, ip="127.0.0.1", port=0)
+    try:
+        for _ in range(3):
+            s = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+            s.close()
+        time.sleep(0.2)
+        # still serving HTTP afterwards
+        (tmp_path / "metrics.jsonl").write_text("{}\n")
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/", timeout=5).read().decode()
+        assert "gsplat-tpu" in html
+    finally:
+        srv.close()
