@@ -130,3 +130,25 @@ def test_collective_overlap_flag_dedup(monkeypatch):
     assert not any(
         t.startswith("--xla_tpu_enable_async_collective_fusion_fuse") and
         t.endswith("true") for t in toks)
+
+
+def test_full_eval(tmp_path):
+    """full_eval orchestrates train -> render -> metrics over scene lists
+    (upstream full_eval.py surface)."""
+    from tests.fixtures import make_colmap_scene
+    from gsplat_tpu.full_eval import main
+
+    s1 = tmp_path / "sceneA"
+    s2 = tmp_path / "sceneB"
+    make_colmap_scene(s1, n_cams=5, width=48, height=32, n_points=30)
+    make_colmap_scene(s2, n_cams=5, width=48, height=32, n_points=30)
+    out = tmp_path / "eval"
+    assert main([
+        "--scenes", str(s1), str(s2), "-o", str(out),
+        "--iterations", "6", "--capacity", "64",
+        "--pair_budget", "4096", "--chunk_size", "32",
+    ]) == 0
+    summary = json.loads((out / "full_eval.json").read_text())
+    assert set(summary) == {"sceneA", "sceneB"}
+    for scene in summary.values():
+        assert scene["test/ours_6"]["PSNR"] is not None
