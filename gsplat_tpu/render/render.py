@@ -29,7 +29,7 @@ import numpy as np
 
 from gsplat_tpu.core.camera import Camera
 from gsplat_tpu.core.gaussians import Gaussians
-from gsplat_tpu.render.binning import Binning, bin_gaussians, out_budget, tile_grid
+from gsplat_tpu.render.binning import bin_gaussians, out_budget, tile_grid
 from gsplat_tpu.render.raster_pallas import (
     ATTR_DIM,
     composite_bwd,

@@ -6,14 +6,14 @@ window, sigma 1.5, C1=0.01^2, C2=0.03^2, SAME padding; and
 loss = (1-lambda) * L1 + lambda * (1 - SSIM), lambda_dssim = 0.2
 (reference default src/arguments/params.h:62).
 
-SSIM runs as two separable depthwise convolutions per moment — XLA maps these to
-the TPU convolution units; everything stays fused under jit.
+SSIM runs as separable shifted-add blurs (static slices of a zero-padded
+image) — one fused elementwise VPU loop per pass under jit; see _blur for why
+this beats a C=3 depthwise convolution on TPU.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax import lax
 
 
 def l1_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
