@@ -235,3 +235,30 @@ def test_sharded_gaussian_step_matches_replicated(mesh_shape):
     from jax.sharding import PartitionSpec
     assert g_s.xyz.sharding.spec == PartitionSpec("data")
     assert st_s.mu["xyz"].sharding.spec == PartitionSpec("data")
+
+
+def test_spmd_kept_frac_matches_full():
+    """MeshParams.kept_frac < 1 (cull + kept split) leaves the SPMD step's
+    loss/params unchanged when the kept budget covers the survivors."""
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(data=2, tile=2, devices=jax.devices()[:4])
+    g, cams = scene(n_cams=2)
+    bg = jnp.zeros(3)
+    opt = OptimizationParams()
+    opt_state = init_adam_state(g.params())
+    batch = stack_cameras(cams)
+    args = (g, opt_state, batch, bg, jnp.asarray(1, jnp.int32),
+            jnp.zeros((), jnp.float32))
+
+    full_fn = make_spmd_train_step(mesh, opt, MP, 1.0, W, H, interpret=True)
+    g_f, _, loss_f, _, _, nd_f, _ = full_fn(*args)
+
+    mp_kept = MP.__class__(**{**MP.__dict__, "kept_frac": 0.9})
+    kept_fn = make_spmd_train_step(mesh, opt, mp_kept, 1.0, W, H, interpret=True)
+    g_k, _, loss_k, _, _, nd_k, n_culled = kept_fn(*args)
+
+    assert int(nd_f) == int(nd_k) == 0
+    np.testing.assert_allclose(float(loss_k), float(loss_f), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_k.xyz), np.asarray(g_f.xyz),
+                               atol=1e-5)
