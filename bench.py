@@ -158,7 +158,11 @@ def run_config(n, width, height, *, tile_size, chunk, pair_budget, iters,
     best = float("inf")
     for _ in range(iters):
         t0 = time.time()
-        jax.block_until_ready(compiled(g))
+        # host-fetch a scalar output: on the axon-tunneled backend
+        # block_until_ready returns before device work completes (a 1.1-TFLOP
+        # matmul "finished" in 38 us of wall time), so only a device->host
+        # value read actually bounds the step
+        float(compiled(g)[0])
         best = min(best, time.time() - t0)
 
     kept_ms = None
@@ -209,7 +213,7 @@ def run_config(n, width, height, *, tile_size, chunk, pair_budget, iters,
         kept_ms = float("inf")
         for _ in range(iters):
             t0 = time.time()
-            jax.block_until_ready(ck(g))
+            float(ck(g)[0])  # host-fetch sync (see timing loop above)
             kept_ms = min(kept_ms, time.time() - t0)
         kept_ms = round(kept_ms * 1000, 2)
 
