@@ -4,10 +4,17 @@ TPU-native replacement for the CUDA duplicate+radix-sort stage of upstream 3DGS
 (absent in the reference; SURVEY.md §7 hard part 2). Design:
 
 1. Per-Gaussian tile rectangles -> per-Gaussian pair counts (0 when culled).
-2. Pair expansion WITHOUT scatter: segment-start marks + cumsum recover each
-   pair slot's Gaussian; its tile comes from the rectangle arithmetic. Static
-   `pair_budget` slots; overflow pairs are dropped (the live total is returned
-   so the driver can grow the budget and recompile).
+2. Pair expansion in ONE fused Pallas kernel (render/expand_pallas.py): XLA
+   builds a live-compacted per-Gaussian column table and the monotone
+   pair->row map (1-column scatter + Pallas prefix scan), the kernel resolves
+   per-pair columns with 128-lane dynamic gathers over a DMA'd window and
+   does the tile arithmetic + tight cull + key packing in the same pass
+   (round-3 redesign: the previous all-XLA expansion cost ~190 ms at 42M
+   pairs on v5e, the kernel ~20 ms). Tiny or non-128-multiple budgets take
+   the equivalent `_expand_xla` fallback, which doubles as the parity oracle
+   (tests/test_expand_pallas.py). Static `pair_budget` slots; overflow pairs
+   are dropped (the live total is returned so the driver can grow the budget
+   and recompile).
 3. One stable multi-key `lax.sort` by (tile_id, depth) - XLA's native sort rides
    the VPU; ties resolve to Gaussian index order (stable).
 4. COMPACT layout (round-2 redesign): the sorted array itself is the kernel
@@ -129,73 +136,15 @@ def _rect_min_Q(a, b, c, lx, hx, ly, hy):
     return jnp.where(inside, 0.0, jnp.maximum(m, 0.0))
 
 
-def bin_gaussians(
-    mean2d: jnp.ndarray,
-    radius: jnp.ndarray,
-    depth: jnp.ndarray,
-    *,
-    width: int,
-    height: int,
-    tile_size: int,
-    chunk: int,
-    pair_budget: int,
-    cull_conic: jnp.ndarray = None,
-    cull_opacity: jnp.ndarray = None,
-    kept_budget: int = None,
-) -> Binning:
-    """Build the sorted compact (Gaussian, tile) pair layout + per-tile tables.
-
-    All inputs should be stop-gradient'ed by the caller (binning is integer-valued;
-    gradients flow through the attribute gather instead). pair_budget must be a
-    multiple of `chunk` (the kernels DMA chunk-aligned supersets of segments).
-
-    cull_conic (N,3) + cull_opacity (N,) enable the TIGHT TILE CULL: rect pairs
-    whose maximum alpha anywhere in the tile is provably below the compositing
-    skip threshold (1/255) are keyed invalid, so they sort past every live tile
-    segment and never reach the kernels, the backward d-array, or the gradient
-    reduction. The test is conservative (exact quadratic min over the tile box,
-    2% threshold slack for f32 rounding), so the rendered image is IDENTICAL —
-    upstream CUDA 3DGS keeps every bounding-rect pair (its per-pixel loop just
-    skips them); public gsplat showed tile-level ellipse tests remove 20-60% of
-    pairs on trained scenes. Culled pairs still occupy expansion SLOTS
-    (n_pairs/budget semantics unchanged); the win is in every pair-proportional
-    stage after the sort.
-
-    kept_budget (defaults to pair_budget) sizes the POST-SORT stages: the sort
-    compacts culled/invalid pairs to the tail, so the attribute gather, the
-    kernels, the backward d-array, and the gradient reduction only need the
-    kept prefix. Kept pairs beyond kept_budget are dropped and counted in
-    n_dropped (the driver's adaptive-budget loop handles growth).
-    """
-    assert pair_budget % chunk == 0, (pair_budget, chunk)
-    if kept_budget is None:
-        kept_budget = pair_budget
-    kept_budget = min(kept_budget, pair_budget)
-    n = mean2d.shape[0]
-    tw, th = tile_grid(width, height, tile_size)
-    num_tiles = tw * th
-    # The cull test needs 6 per-pair attribute columns. In the gather regime
-    # they ride the existing per-row gather for free; in the B2 regime
-    # (pair_budget >= 8n) each extra column adds a pair-long scatter+cumsum
-    # (~23 ms/col at 42M pairs on v5e), which only pays off when a reduced
-    # kept_budget shrinks the post-sort stages.
-    do_cull = cull_conic is not None and (
-        pair_budget < 8 * n or kept_budget < pair_budget
-    )
-
-    x0, y0, x1, y1 = tile_rects(mean2d, radius, tw, th, tile_size)
-    rect_w = jnp.maximum(x1 - x0, 0)
-    rect_h = jnp.maximum(y1 - y0, 0)
-    counts = jnp.where(radius > 0, rect_w * rect_h, 0).astype(jnp.int32)
-
-    cum = jnp.cumsum(counts)                      # inclusive
-    total = cum[-1]
-    offsets = cum - counts                        # exclusive
-    n_dropped = jnp.maximum(total - pair_budget, 0)
-
-    # pair -> Gaussian via segment-start marks + cumsum (a searchsorted here would
-    # cost ~17 serial gather rounds over pair_budget elements — measured 30x slower
-    # on TPU than this scatter+scan)
+def _expand_xla(
+    mean2d, depth, x0, y0, rect_w, counts, cum, offsets, total,
+    cull_conic, cull_opacity, *, n, tw, num_tiles, tile_size, pair_budget,
+    do_cull,
+):
+    """Fallback pair expansion in pure XLA (tiny / non-128-multiple budgets;
+    also the oracle the fused Pallas kernel is parity-tested against).
+    Returns (key, pair_gid) in expansion order; invalid/culled pairs carry
+    gid == n and the invalid sort key."""
     p = jnp.arange(pair_budget, dtype=jnp.int32)
     marks = jnp.zeros(pair_budget, jnp.int32).at[offsets].add(1, mode="drop")
     gid_c = jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1)
@@ -220,15 +169,10 @@ def bin_gaussians(
     cols = jnp.stack(col_list, axis=1)  # (n, 4 or 10) int32
     if pair_budget >= 8 * n:
         # DENSE regime: a pair_budget-row gather pays the per-row random-access
-        # cost for every pair (~200 ms at 42M pairs @1080p on v5e) even though
-        # gid_c is MONOTONE — each Gaussian's rows are consecutive. Exploit
-        # that: scatter each live Gaussian's delta vs the previous live
-        # Gaussian at its segment start, then an int32 cumsum telescopes back
-        # to exactly cols[gid_c] (every partial sum IS some Gaussian's column
-        # value, so the packed fields can never carry into each other). Costs
-        # one n-row compaction + scatter + 4 pair-long cumsums — ~2x cheaper
-        # than the gather at 16+ pairs/Gaussian, slower below (n-row fixed
-        # costs), hence the static gate.
+        # cost for every pair even though gid_c is MONOTONE — each Gaussian's
+        # rows are consecutive. Exploit that: scatter each live Gaussian's
+        # delta vs the previous live Gaussian at its segment start, then an
+        # int32 cumsum telescopes back to exactly cols[gid_c].
         live = counts > 0
         ord_ = jnp.argsort(jnp.where(live, 0, 1).astype(jnp.int32), stable=True)
         cols_l = cols[ord_]                        # (n, 4), live rows first
@@ -265,27 +209,168 @@ def bin_gaussians(
         # 2% slack keeps any pair f32 rounding could misprice near the cutoff
         keep = op * jnp.exp(-min_q) >= ALPHA_MIN * 0.98
         valid_k = valid & keep
-        n_culled = jnp.sum(valid & ~keep).astype(jnp.int32)
     else:
         valid_k = valid
-        n_culled = jnp.zeros((), jnp.int32)
 
     tile = jnp.where(valid_k, tile, num_tiles).astype(jnp.int32)
     pair_depth = jnp.where(
         valid_k, pc[:, 3].view(jnp.float32), jnp.inf
     ).astype(jnp.float32)
     pair_gid = jnp.where(valid_k, gid_c, n).astype(jnp.int32)
-
-    # ONE packed s32 key (see pack_sort_key) instead of a 2-key 3-operand
-    # sort: a third operand rides every compare-exchange pass of the sort, and
-    # at realistic density (30+ pairs/Gaussian, 40M+ pairs @1080p) the pair
-    # sort is a top-3 step cost. num_keys=2 on (key, gid) with is_stable=False
-    # replaces stability: within equal packed keys the order is gid-ascending —
-    # exactly what a stable sort of the expansion order would give (a Gaussian
-    # never pairs with the same tile twice, so (key, gid) has no duplicates) —
-    # while an is_stable=True sort would make XLA append a THIRD hidden iota
-    # tiebreaker operand that rides every compare-exchange pass.
     key = pack_sort_key(tile, pair_depth, num_tiles)
+    return key, pair_gid
+
+
+def _expand_fused(
+    mean2d, depth, x0, y0, rect_w, counts, total,
+    cull_conic, cull_opacity, *, n, tw, num_tiles, tile_size, pair_budget,
+    do_cull, interpret,
+):
+    """Fused Pallas pair expansion (see render/expand_pallas.py): XLA builds
+    the live-compacted per-Gaussian column table and the monotone pair->row
+    map, the kernel does everything per-pair. Bit-identical to _expand_xla."""
+    from gsplat_tpu.render.expand_pallas import WIN, expand_pairs
+    from gsplat_tpu.render.scan_pallas import prefix_sum_flags
+
+    db = depth_shift(num_tiles)
+    live = counts > 0
+    ord_ = jnp.argsort(jnp.where(live, 0, 1).astype(jnp.int32), stable=True)
+    counts_l = counts[ord_]
+    csl = jnp.cumsum(counts_l)
+    offs_l = (csl - counts_l).astype(jnp.int32)
+    live_l = counts_l > 0
+
+    w_safe = jnp.maximum(rect_w, 1)
+    dq = jnp.minimum(
+        jax.lax.shift_right_logical(
+            depth.astype(jnp.float32).view(jnp.int32), 32 - db
+        ),
+        (1 << db) - 1,
+    )
+    recip = (1.0 / w_safe.astype(jnp.float32)).view(jnp.int32)
+    col_list = [x0 | (y0 << 16), w_safe, dq, recip]
+    if do_cull:
+        col_list += [
+            mean2d[:, 0].astype(jnp.float32).view(jnp.int32),
+            mean2d[:, 1].astype(jnp.float32).view(jnp.int32),
+            cull_conic[:, 0].astype(jnp.float32).view(jnp.int32),
+            cull_conic[:, 1].astype(jnp.float32).view(jnp.int32),
+            cull_conic[:, 2].astype(jnp.float32).view(jnp.int32),
+            cull_opacity.astype(jnp.float32).view(jnp.int32),
+        ]
+    cols_l = jnp.stack(col_list, axis=1)[ord_]          # (n, K) row gather
+    cols_t = jnp.concatenate(
+        [cols_l, ord_[:, None], offs_l[:, None]], axis=1
+    ).T                                                  # (NC, n)
+    n_pad = -(-n // 128) * 128 + WIN + 128
+    cols_t = jnp.pad(cols_t, ((0, 0), (0, n_pad - n)))
+
+    # segment-start marks over LIVE rows only (strictly increasing offsets =>
+    # 0/1 flags => gid_c increments by <= 1 per slot, the kernel's window bound)
+    marks = (
+        jnp.zeros(pair_budget, jnp.int32)
+        .at[jnp.where(live_l, offs_l, pair_budget)]
+        .add(1, mode="drop")
+    )
+    gid_c = prefix_sum_flags(marks, bias=-1, interpret=interpret)
+    return expand_pairs(
+        cols_t, gid_c, total, tw=tw, tile_size=tile_size, db=db,
+        num_tiles=num_tiles, n_orig=n, do_cull=do_cull,
+        alpha_thresh=ALPHA_MIN * 0.98, interpret=interpret,
+    )
+
+
+def bin_gaussians(
+    mean2d: jnp.ndarray,
+    radius: jnp.ndarray,
+    depth: jnp.ndarray,
+    *,
+    width: int,
+    height: int,
+    tile_size: int,
+    chunk: int,
+    pair_budget: int,
+    cull_conic: jnp.ndarray = None,
+    cull_opacity: jnp.ndarray = None,
+    kept_budget: int = None,
+    interpret: bool = None,
+    fused: bool = None,
+) -> Binning:
+    """Build the sorted compact (Gaussian, tile) pair layout + per-tile tables.
+
+    All inputs should be stop-gradient'ed by the caller (binning is integer-valued;
+    gradients flow through the attribute gather instead). pair_budget must be a
+    multiple of `chunk` (the kernels DMA chunk-aligned supersets of segments).
+
+    cull_conic (N,3) + cull_opacity (N,) enable the TIGHT TILE CULL: rect pairs
+    whose maximum alpha anywhere in the tile is provably below the compositing
+    skip threshold (1/255) are keyed invalid, so they sort past every live tile
+    segment and never reach the kernels, the backward d-array, or the gradient
+    reduction. The test is conservative (exact quadratic min over the tile box,
+    2% threshold slack for f32 rounding), so the rendered image is IDENTICAL —
+    upstream CUDA 3DGS keeps every bounding-rect pair (its per-pixel loop just
+    skips them); public gsplat showed tile-level ellipse tests remove 20-60% of
+    pairs on trained scenes. Culled pairs still occupy expansion SLOTS
+    (n_pairs/budget semantics unchanged); the win is in every pair-proportional
+    stage after the sort.
+
+    kept_budget (defaults to pair_budget) sizes the POST-SORT stages: the sort
+    compacts culled/invalid pairs to the tail, so the attribute gather, the
+    kernels, the backward d-array, and the gradient reduction only need the
+    kept prefix. Kept pairs beyond kept_budget are dropped and counted in
+    n_dropped (the driver's adaptive-budget loop handles growth).
+    """
+    assert pair_budget % chunk == 0, (pair_budget, chunk)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if kept_budget is None:
+        kept_budget = pair_budget
+    kept_budget = min(kept_budget, pair_budget)
+    n = mean2d.shape[0]
+    tw, th = tile_grid(width, height, tile_size)
+    num_tiles = tw * th
+    # The cull test needs 6 per-pair attribute columns. In the gather regime
+    # they ride the existing per-row gather for free; in the B2 regime
+    # (pair_budget >= 8n) each extra column adds a pair-long scatter+cumsum
+    # (~23 ms/col at 42M pairs on v5e), which only pays off when a reduced
+    # kept_budget shrinks the post-sort stages.
+    do_cull = cull_conic is not None and (
+        pair_budget < 8 * n or kept_budget < pair_budget
+    )
+
+    x0, y0, x1, y1 = tile_rects(mean2d, radius, tw, th, tile_size)
+    rect_w = jnp.maximum(x1 - x0, 0)
+    rect_h = jnp.maximum(y1 - y0, 0)
+    counts = jnp.where(radius > 0, rect_w * rect_h, 0).astype(jnp.int32)
+
+    cum = jnp.cumsum(counts)                      # inclusive
+    total = cum[-1]
+    offsets = cum - counts                        # exclusive
+    n_dropped = jnp.maximum(total - pair_budget, 0)
+
+    if fused is None:
+        # the fused kernel needs 128-multiple budgets; in interpreter mode
+        # its unrolled gather rounds are pathologically slow, and the XLA
+        # fallback is the same math (parity-tested), so interpret defaults off
+        fused = not interpret and pair_budget % 128 == 0 and pair_budget >= 1024
+    if fused:
+        key, pair_gid = _expand_fused(
+            mean2d, depth, x0, y0, rect_w, counts, total,
+            cull_conic, cull_opacity, n=n, tw=tw, num_tiles=num_tiles,
+            tile_size=tile_size, pair_budget=pair_budget, do_cull=do_cull,
+            interpret=interpret,
+        )
+    else:
+        key, pair_gid = _expand_xla(
+            mean2d, depth, x0, y0, rect_w, counts, cum, offsets, total,
+            cull_conic, cull_opacity, n=n, tw=tw, num_tiles=num_tiles,
+            tile_size=tile_size, pair_budget=pair_budget, do_cull=do_cull,
+        )
+
+    # invalid AND culled pairs both carry gid == n (and the invalid key)
+    n_valid = jnp.minimum(total, pair_budget)
+    if do_cull:
+        valid_k = pair_gid != n
     key_s, gid_s = jax.lax.sort((key, pair_gid), num_keys=2, is_stable=False)
 
     # per-tile segment boundaries on the sorted array (tiny: num_tiles-sized);
@@ -308,14 +393,17 @@ def bin_gaussians(
     if do_cull:
         # gradient segment boundaries must count KEPT pairs only (culled rows
         # never reach the backward d-array): cumulative kept slots per Gaussian
-        K = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(valid_k.astype(jnp.int32))]
-        )
-        gauss_cum = K[jnp.minimum(cum, pair_budget)]
-        kept_total = K[-1]
+        from gsplat_tpu.render.scan_pallas import prefix_sum_flags
+
+        Kc = prefix_sum_flags(valid_k.astype(jnp.int32), interpret=interpret)
+        cum_c = jnp.minimum(cum, pair_budget)
+        gauss_cum = jnp.where(cum_c == 0, 0, Kc[jnp.maximum(cum_c - 1, 0)])
+        kept_total = Kc[-1]
+        n_culled = n_valid - kept_total
     else:
         gauss_cum = cum
-        kept_total = jnp.minimum(total, pair_budget)
+        kept_total = n_valid
+        n_culled = jnp.zeros((), jnp.int32)
     # kept overflow: the dropped suffix is (tile,depth)-ordered, NOT gid-
     # ordered, so the expansion-order boundary table no longer matches the
     # d-array contents — a clamp would sum rows into the WRONG Gaussians

@@ -1,0 +1,216 @@
+"""Fused Pallas pair-expansion kernel: per-Gaussian columns -> per-pair
+(sort key, Gaussian id) in one pass.
+
+Replaces the round-2 XLA expansion pipeline — the B2 scatter+cumsum
+telescoping / dense row gather, the pair-long tile arithmetic, the tight-cull
+quadratic, and the key packing — which together cost ~250 ms/step at 42M
+pairs @1080p on v5e (scatter 107 + 10-col cumsum 58 + gather/elementwise).
+
+Design (TPU-first; no counterpart in the reference — its rasterizer stage is
+absent, SURVEY.md §1 L2.5; upstream CUDA 3DGS does this with duplicateWithKeys
++ global atomics, which TPUs don't have):
+
+- XLA precomputes `gid_c` (pair slot -> LIVE-COMPACTED Gaussian index) with a
+  1-column scatter of segment-start marks + a Pallas prefix scan. Because the
+  table is live-compacted (every row has >= 1 pair), gid_c increments by at
+  most 1 per pair slot, so any 1024-pair micro-block touches at most 1025
+  consecutive table rows.
+- The kernel walks (128,128)-pair blocks; for each 1024-pair micro-block it
+  DMAs the (NC, 1280) column window starting at the micro-block's first
+  Gaussian (128-aligned) and resolves every per-pair column value with nine
+  128-lane `dynamic_gather`s + selects — no scatters, no big sorts, no
+  per-pair HBM gathers.
+- Per-pair arithmetic (rect decomposition via an exact reciprocal-multiply
+  division, the tight-cull quadratic minimum, key packing) runs on the VPU in
+  the same pass.
+
+Outputs feed the unchanged (key, gid) pair sort. Bit-identical to the XLA
+path it replaces (integer arithmetic; the cull predicate evaluates the same
+f32 expression).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# pairs per grid step = MB_ROWS*128 per micro-block * N_MICRO
+N_MICRO = 16
+MB_ROWS = 8            # micro-block rows of 128 lanes -> 1024 pairs
+BLOCK_PAIRS = N_MICRO * MB_ROWS * 128     # 16384
+WIN = 1280             # window lanes: 127 (align) + 1025 (max span) <= 1280
+N_CHUNKS = WIN // 128
+
+
+def _f32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+def _gather_cols(win_ref, slot, idx, cid, cols):
+    """Resolve window rows for each pair: win_ref (2, NC, WIN) i32 scratch;
+    idx/cid (8,128) lane index / chunk id. Returns {col: (8,128) i32}.
+    Slicing the ref per (col, chunk) keeps live vregs small — loading the
+    whole 80 KB window at once would spill."""
+    out = {}
+    for c in cols:
+        acc = jnp.zeros((MB_ROWS, 128), jnp.int32)
+        for k in range(N_CHUNKS):
+            chunk = jnp.broadcast_to(
+                win_ref[slot, c:c + 1, 128 * k:128 * (k + 1)], (MB_ROWS, 128)
+            )
+            g_k = jnp.take_along_axis(chunk, idx, axis=1)
+            acc = jnp.where(cid == k, g_k, acc)
+        out[c] = acc
+    return out
+
+
+def _expand_kernel(
+    meta_ref, gidc_ref, cols_hbm, key_ref, gid_ref, win, sems, *,
+    tw, tile_size, db, num_tiles, n_orig, n_pad, do_cull, alpha_thresh,
+    ncols,
+):
+    b = pl.program_id(0)
+    total = meta_ref[0]
+    # column layout (matches build_cols): 0 x0y0, 1 w, 2 dq, 3 recip,
+    # [4..9 cull: mx my ca cb cc op], NC-2 gorig, NC-1 off
+    col_ids = [0, 1, 2, 3, ncols - 2, ncols - 1]
+    if do_cull:
+        col_ids += [4, 5, 6, 7, 8, 9]
+
+    max_base = n_pad - WIN
+
+    def win_base(m):
+        base = jnp.minimum(jnp.maximum(gidc_ref[MB_ROWS * m, 0], 0), max_base)
+        return pl.multiple_of((base // 128) * 128, 128)
+
+    def dma(m):
+        slot = m % 2
+        return pltpu.make_async_copy(
+            cols_hbm.at[:, pl.ds(win_base(m), WIN)], win.at[slot], sems.at[slot]
+        )
+
+    dma(0).start()
+    inv_dq = min(0x7F800000 >> (32 - db), (1 << db) - 1)
+    key_invalid = (num_tiles << db) | inv_dq
+
+    for m in range(N_MICRO):
+        if m + 1 < N_MICRO:
+            dma(m + 1).start()
+        dma(m).wait()
+        base_al = win_base(m)
+
+        lid = gidc_ref[MB_ROWS * m:MB_ROWS * (m + 1), :] - base_al
+        cid = jnp.maximum(lid, 0) >> 7               # arithmetic >> on >= 0
+        cid = jnp.where(lid < 0, N_CHUNKS, cid)      # negative -> no chunk
+        idx = lid & 127
+        cv = _gather_cols(win, m % 2, idx, cid, col_ids)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (MB_ROWS, 128), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (MB_ROWS, 128), 1)
+        p = (b * BLOCK_PAIRS + m * MB_ROWS * 128) + row * 128 + lane
+
+        x0y0 = cv[0]
+        w = cv[1]
+        local = p - cv[ncols - 1]
+        # exact division by the per-Gaussian reciprocal: local < tw*th
+        # (~2^14), f32 relative error < 2^-22 => |q_approx - local/w| < 1,
+        # one integer correction restores exactness
+        q = jnp.floor(local.astype(jnp.float32) * _f32(cv[3])).astype(jnp.int32)
+        r0 = local - q * w
+        q = q + (r0 >= w).astype(jnp.int32) - (r0 < 0).astype(jnp.int32)
+        rem = local - q * w
+        tx = (x0y0 & 0xFFFF) + rem
+        ty = jax.lax.shift_right_logical(x0y0, 16) + q
+        tile = ty * tw + tx
+        valid = p < total
+
+        if do_cull:
+            from gsplat_tpu.render.binning import _rect_min_Q
+
+            ts = float(tile_size)
+            lx = tx.astype(jnp.float32) * ts - _f32(cv[4])
+            ly = ty.astype(jnp.float32) * ts - _f32(cv[5])
+            min_q = _rect_min_Q(
+                _f32(cv[6]), _f32(cv[7]), _f32(cv[8]),
+                lx, lx + (ts - 1.0), ly, ly + (ts - 1.0),
+            )
+            keep = _f32(cv[9]) * jnp.exp(-min_q) >= alpha_thresh
+            vk = valid & keep
+        else:
+            vk = valid
+
+        key = jax.lax.shift_left(tile, db) | cv[2]
+        sl = slice(MB_ROWS * m, MB_ROWS * (m + 1))
+        key_ref[sl, :] = jnp.where(vk, key, key_invalid)
+        gid_ref[sl, :] = jnp.where(vk, cv[ncols - 2], n_orig)
+
+
+def expand_pairs(
+    cols_t: jnp.ndarray,     # (NC, n_pad) int32 live-compacted column table
+    gid_c: jnp.ndarray,      # (S,) int32 pair -> live row index (monotone)
+    total: jnp.ndarray,      # () int32 live pair count
+    *,
+    tw: int,
+    tile_size: int,
+    db: int,
+    num_tiles: int,
+    n_orig: int,
+    do_cull: bool,
+    alpha_thresh: float,
+    interpret: bool = False,
+):
+    """Run the fused expansion kernel. Returns (key, gid) each (S,) int32,
+    in expansion order, ready for the pair sort. S must be a multiple of 128
+    and n_pad a multiple of 128 with >= WIN slack rows (see build_cols)."""
+    (S,) = gid_c.shape
+    assert S % 128 == 0, S
+    nc, n_pad = cols_t.shape
+    assert n_pad % 128 == 0 and n_pad >= WIN, (n_pad,)
+    ncols = nc
+    if nc % 8 != 0:
+        # DMA sublane dimension must be a multiple of 8 on TPU
+        cols_t = jnp.pad(cols_t, ((0, 8 - nc % 8), (0, 0)))
+        nc = cols_t.shape[0]
+    rows = S // 128
+    grid = pl.cdiv(rows, N_MICRO * MB_ROWS)
+
+    kern = functools.partial(
+        _expand_kernel, tw=tw, tile_size=tile_size, db=db,
+        num_tiles=num_tiles, n_orig=n_orig, n_pad=n_pad, do_cull=do_cull,
+        alpha_thresh=alpha_thresh, ncols=ncols,
+    )
+    blk = (N_MICRO * MB_ROWS, 128)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(blk, lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(blk, lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, nc, WIN), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    key, gid = pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        jnp.asarray(total, jnp.int32).reshape(1),
+        gid_c.reshape(rows, 128),
+        cols_t,
+    )
+    return key.reshape(S), gid.reshape(S)

@@ -246,6 +246,7 @@ def render_projected(
             jax.lax.stop_gradient(proj.opacity) if tight_cull else None
         ),
         kept_budget=kept_budget,
+        interpret=interpret,
     )
 
     # differentiable per-Gaussian attrs with an inert null row at index N
