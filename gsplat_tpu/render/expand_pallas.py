@@ -75,8 +75,9 @@ def _expand_kernel(
 ):
     b = pl.program_id(0)
     total = meta_ref[0]
-    # column layout (matches build_cols): 0 x0y0, 1 w, 2 dq, 3 recip,
-    # [4..9 cull: mx my ca cb cc op], NC-2 gorig, NC-1 off
+    # column layout (matches _expand_fused): 0 x0y0, 1 w, 2 dq, 3 recip,
+    # [4..9 cull: mx my ca cb cc op], then inert pass-through columns
+    # (counts rides the row gather), NC-2 gorig, NC-1 off
     col_ids = [0, 1, 2, 3, ncols - 2, ncols - 1]
     if do_cull:
         col_ids += [4, 5, 6, 7, 8, 9]

@@ -151,17 +151,28 @@ def _alphas_from_power(power, op_col):
     return alpha, chain, G
 
 
-def _dg(a, b, ca, cb):
-    """dot_general contracting axis ca of a with axis cb of b.
+# TPU matmuls default to bf16 INPUT precision (preferred_element_type only
+# sets the accumulator), and bf16 truncation of the bilinear coefficients /
+# log-transmittance terms is enough to destabilize training (observed: loss
+# divergence after ~400 iters on v5e while the f32 CPU path converged).
+# HIGHEST = 6-pass bf16 synthesis (~2^-24 input error). Mosaic's dot lowering
+# supports only DEFAULT and HIGHEST (Precision.HIGH raises NotImplementedError
+# as of jax 0.9), and the kernels are VPU-bound, not MXU-bound, so the pass
+# count is not the lever anyway — the knob exists for A/B experiments only.
+import os as _os
 
-    precision=HIGHEST is load-bearing: TPU matmuls default to bf16 INPUT
-    precision (preferred_element_type only sets the accumulator), and bf16
-    truncation of the bilinear coefficients / log-transmittance terms is enough
-    to destabilize training (observed: loss divergence after ~400 iters on v5e
-    while the f32 CPU path converged)."""
+MATMUL_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,
+}[_os.environ.get("GSPLAT_MATMUL_PRECISION", "highest")]
+
+
+def _dg(a, b, ca, cb):
+    """dot_general contracting axis ca of a with axis cb of b (f32 accum,
+    input precision per MATMUL_PRECISION — see note above)."""
     return jax.lax.dot_general(
         a, b, (((ca,), (cb,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=MATMUL_PRECISION,
     )
 
 

@@ -85,10 +85,10 @@ def main():
 
     print("compiling...", file=sys.stderr)
     c = jax.jit(f).lower(g).compile()
-    jax.block_until_ready(c(g))
-    jax.profiler.start_trace(ns.trace_dir)
+    float(c(g)[0])  # host-fetch sync: block_until_ready returns early on the
+    jax.profiler.start_trace(ns.trace_dir)  # axon-tunneled backend
     for _ in range(ns.steps):
-        jax.block_until_ready(c(g))
+        float(c(g)[0])
     jax.profiler.stop_trace()
     print_xplane_summary(ns.trace_dir, ns.steps)
 
