@@ -73,11 +73,16 @@ def pack_attrs(mean2d, conic, rgb, opacity) -> jnp.ndarray:
 
 
 def _pixel_basis(tile_size: int):
-    """V (8, npix): [px^2, py^2, px*py, px, py, 1, 0, 0] in tile-local coords."""
+    """V (8, npix): [px^2, py^2, px*py, px, py, 1, 0, 0] in CENTERED tile-local
+    coords (px, py in [-tile/2, tile/2)). Centering makes every entry an
+    integer <= (tile/2)^2 = 256 at tile 32 — EXACTLY representable in bf16,
+    which is what lets split mode do 3 one-sided passes instead of HIGHEST's
+    6 double-sided ones (and conditions the f32 bilinear form better)."""
     npix = tile_size * tile_size
+    h = tile_size // 2
     pix = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
-    px = (pix % tile_size).astype(jnp.float32)
-    py = (pix // tile_size).astype(jnp.float32)
+    px = (pix % tile_size - h).astype(jnp.float32)
+    py = (pix // tile_size - h).astype(jnp.float32)
     one = jnp.ones((1, npix), jnp.float32)
     zero = jnp.zeros((1, npix), jnp.float32)
     return jnp.concatenate([px * px, py * py, px * py, px, py, one, zero, zero], axis=0)
@@ -115,7 +120,16 @@ def _op_column(a):
     e8 = (jax.lax.broadcasted_iota(jnp.int32, (ATTR_DIM, 1), 0) == 8).astype(
         jnp.float32
     )
-    return _dg(a, e8, 0, 0)  # (chunk, 1)
+    return _dgx(a, e8, 0, 0, exact="b")  # (chunk, 1)
+
+
+def _rgb_columns(a):
+    """rgb rows 5..7 of the attr block as (chunk, 3) columns (one-hot matmul
+    transpose, same trick as _op_column)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (ATTR_DIM, 3), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (ATTR_DIM, 3), 1)
+    sel = (r == c + 5).astype(jnp.float32)
+    return _dgx(a, sel, 0, 0, exact="b")  # (chunk, 3)
 
 
 def _valid_column(j, head, count, chunk):
@@ -155,25 +169,88 @@ def _alphas_from_power(power, op_col):
 # sets the accumulator), and bf16 truncation of the bilinear coefficients /
 # log-transmittance terms is enough to destabilize training (observed: loss
 # divergence after ~400 iters on v5e while the f32 CPU path converged).
-# HIGHEST = 6-pass bf16 synthesis (~2^-24 input error). Mosaic's dot lowering
+# HIGHEST = 6-pass bf16 synthesis (~2^-24 input error); Mosaic's dot lowering
 # supports only DEFAULT and HIGHEST (Precision.HIGH raises NotImplementedError
-# as of jax 0.9), and the kernels are VPU-bound, not MXU-bound, so the pass
-# count is not the lever anyway — the knob exists for A/B experiments only.
+# as of jax 0.9).
+#
+# "split" (the DEFAULT; round-2 lever): the kernels are MXU-PASS-bound, not
+# VPU-bound — measured on v5e sparse bench: HIGHEST 252 ms/step vs DEFAULT
+# (1-pass) 178 ms, i.e. ~75 ms of pure pass synthesis. Most matmuls here have
+# ONE side EXACTLY representable in bf16 — the pixel basis V (integers <=
+# (tile/2)^2 = 256 in centered tile-local coordinates), the 0/1 triangular
+# cumsum matrices, one-hot selectors, the ones row. XLA's HIGHEST cannot know
+# that and splits BOTH operands (6 cross-term passes); splitting only the
+# data operand into SPLIT_TERMS=3 bf16 terms reaches the same ~2^-24
+# input-error class in 3 passes (_dgx). The k=3 color-dot moves to VPU
+# broadcast-FMA entirely (exact f32). Matmuls with NO exact side (rgb@w image
+# accumulation, d_rgb) stay HIGHEST, as do the V matmuls at tile_size > 32
+# (where (tile/2)^2 > 256 overflows bf16's exact-integer range — exact_ok).
 import os as _os
 
-MATMUL_PRECISION = {
-    "highest": jax.lax.Precision.HIGHEST,
-    "default": jax.lax.Precision.DEFAULT,
-}[_os.environ.get("GSPLAT_MATMUL_PRECISION", "highest")]
+_PRECISION_MODE = _os.environ.get("GSPLAT_MATMUL_PRECISION", "split")
+SPLIT_TERMS = int(_os.environ.get("GSPLAT_SPLIT_TERMS", "3"))
+
+
+def _matmul_precision():
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+        "split": jax.lax.Precision.HIGHEST,  # for non-split-safe matmuls
+    }[_PRECISION_MODE]
 
 
 def _dg(a, b, ca, cb):
     """dot_general contracting axis ca of a with axis cb of b (f32 accum,
-    input precision per MATMUL_PRECISION — see note above)."""
+    input precision per the mode — see note above). In split mode this is the
+    fallback for matmuls with NO bf16-exact operand (rgb@w, d_rgb)."""
     return jax.lax.dot_general(
         a, b, (((ca,), (cb,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=MATMUL_PRECISION,
+        precision=_matmul_precision(),
     )
+
+
+def _split_terms(a, terms: int):
+    """f32 -> `terms` bf16 arrays summing to a (error ~2^-(8*terms) rel)."""
+    out = []
+    rem = a
+    for t in range(terms):
+        h = rem.astype(jnp.bfloat16)
+        out.append(h)
+        if t + 1 < terms:
+            rem = rem - h.astype(jnp.float32)
+    return out
+
+
+def _dg_1pass(a, b, ca, cb):
+    return jax.lax.dot_general(
+        a, b, (((ca,), (cb,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _dgx(a, b, ca, cb, exact: str, exact_ok: bool = True):
+    """dot_general where the operand named by `exact` ("a"/"b") is EXACTLY
+    representable in bf16 (pixel basis, 0/1 triangular, one-hot selector,
+    ones row). In split mode: SPLIT_TERMS 1-pass matmuls on the other
+    operand's bf16 expansion (~2^-24 input error at 3 terms — HIGHEST's class
+    at half the passes). Other modes — or exact_ok=False (pixel basis at
+    tile_size > 32, where (tile/2)^2 > 256 overflows bf16's integer range) —
+    plain _dg."""
+    if _PRECISION_MODE != "split" or not exact_ok:
+        return _dg(a, b, ca, cb)
+    if exact == "a":
+        aa = a.astype(jnp.bfloat16)
+        out = None
+        for h in _split_terms(b, SPLIT_TERMS):
+            d = _dg_1pass(aa, h, ca, cb)
+            out = d if out is None else out + d
+        return out
+    bb = b.astype(jnp.bfloat16)
+    out = None
+    for h in _split_terms(a, SPLIT_TERMS):
+        d = _dg_1pass(h, bb, ca, cb)
+        out = d if out is None else out + d
+    return out
 
 
 def _mm(a, b):
@@ -190,16 +267,17 @@ def _cumsum0(x: jnp.ndarray) -> jnp.ndarray:
     """Inclusive cumsum along axis 0 as lower-triangular matmuls (MXU; Mosaic has
     no cumsum lowering). Hierarchical: 32-row triangular blocks + sequential
     carry — the tri matmul cost is O(block * pixels) per pair, so 32-wide blocks
-    cost 4x less than one 128-wide tri."""
+    cost 4x less than one 128-wide tri. The 0/1 triangular matrix is bf16-exact,
+    so split mode runs these at SPLIT_TERMS passes."""
     c = x.shape[0]
     sub = 32
     if c <= sub or c % sub != 0:
-        return _mm(_tri(c, x.dtype), x)
+        return _dgx(_tri(c, x.dtype), x, 1, 0, exact="a")
     tri = _tri(sub, x.dtype)
     blocks = []
     carry = jnp.zeros((1, x.shape[1]), x.dtype)
     for i in range(c // sub):
-        blk = _mm(tri, x[i * sub:(i + 1) * sub, :]) + carry
+        blk = _dgx(tri, x[i * sub:(i + 1) * sub, :], 1, 0, exact="a") + carry
         blocks.append(blk)
         carry = blk[sub - 1:sub, :]
     return jnp.concatenate(blocks, axis=0)
@@ -222,8 +300,10 @@ def _fwd_kernel(
     npix = tile_size * tile_size
     i = pl.program_id(0)
     astart, head, count, nch = _seg(ts_ref, tc_ref, i, chunk)
-    ox = ((i % tw) * tile_size).astype(jnp.float32)
-    oy = ((i // tw) * tile_size).astype(jnp.float32)
+    # tile origin shifted to the CENTER of the tile (matches _pixel_basis)
+    h = tile_size // 2
+    ox = ((i % tw) * tile_size + h).astype(jnp.float32)
+    oy = ((i // tw) * tile_size + h).astype(jnp.float32)
     V = _pixel_basis(tile_size)
 
     def dma(slot, j):
@@ -250,7 +330,7 @@ def _fwd_kernel(
         dma(slot, j).wait()
         a = buf[slot]                     # (16, chunk)
         U, _, _, _, _, _, _ = _chunk_U(a, ox, oy)
-        power = _dg(U, V, 0, 0)           # (chunk, npix)
+        power = _dgx(U, V, 0, 0, exact="b", exact_ok=tile_size <= 32)
         op_v = _op_column(a) * _valid_column(j, head, count, chunk)
         alpha, _, _ = _alphas_from_power(power, op_v)
 
@@ -291,8 +371,9 @@ def _bwd_kernel(
     i = pl.program_id(0)
     astart, head, count, nch = _seg(ts_ref, tc_ref, i, chunk)
     ostart = pl.multiple_of(os_ref[i], chunk)
-    ox = ((i % tw) * tile_size).astype(jnp.float32)
-    oy = ((i // tw) * tile_size).astype(jnp.float32)
+    h = tile_size // 2
+    ox = ((i % tw) * tile_size + h).astype(jnp.float32)
+    oy = ((i // tw) * tile_size + h).astype(jnp.float32)
     V = _pixel_basis(tile_size)
     ones_pix = jnp.ones((1, npix), jnp.float32)
 
@@ -346,7 +427,7 @@ def _bwd_kernel(
 
         U, mxl, myl, ca, cb, cc, _ = _chunk_U(a, ox, oy)
         op_col = _op_column(a) * _valid_column(j, head, count, chunk)
-        power = _dg(U, V, 0, 0)
+        power = _dgx(U, V, 0, 0, exact="b", exact_ok=tile_size <= 32)
         alpha, chain, G = _alphas_from_power(power, op_col)
         rgb = a[5:8, :]
 
@@ -356,7 +437,18 @@ def _bwd_kernel(
         t_i = t_exc * t_run
         w = alpha * t_i
 
-        cg = _dg(rgb, g_rgb, 0, 0)               # (chunk, npix)
+        if _PRECISION_MODE == "split":
+            # k=3 color-dot off the MXU entirely: 3 exact-f32 broadcast FMAs
+            # on the VPU (a k=3 matmul occupies a full 128-deep MXU pass; at
+            # HIGHEST it was 6)
+            rgb_c = _rgb_columns(a)              # (chunk, 3)
+            cg = (
+                rgb_c[:, 0:1] * g_rgb[0:1, :]
+                + rgb_c[:, 1:2] * g_rgb[1:2, :]
+                + rgb_c[:, 2:3] * g_rgb[2:3, :]
+            )                                    # (chunk, npix)
+        else:
+            cg = _dg(rgb, g_rgb, 0, 0)           # (chunk, npix)
         wcg = w * cg
         pref = _cumsum0(wcg) + prefix
         # exact reciprocal beats the hardware divide on the VPU; alpha is
@@ -367,9 +459,9 @@ def _bwd_kernel(
         dalpha = dalpha * chain
         d_rgb = _dg(g_rgb, w, 1, 1)              # (3, chunk)
         gda = G * dalpha
-        d_op = _dg(ones_pix, gda, 1, 1)          # (1, chunk)
+        d_op = _dgx(ones_pix, gda, 1, 1, exact="a")  # (1, chunk)
         dpow = op_col * gda                      # (chunk, npix)
-        dU = _dg(V, dpow, 1, 1)                  # (8, chunk)
+        dU = _dgx(V, dpow, 1, 1, exact="a", exact_ok=tile_size <= 32)  # (8, chunk)
         du3, du4, du5 = dU[3:4, :], dU[4:5, :], dU[5:6, :]
         d_a = -0.5 * dU[0:1, :] + mxl * du3 - 0.5 * mxl * mxl * du5
         d_c = -0.5 * dU[1:2, :] + myl * du4 - 0.5 * myl * myl * du5

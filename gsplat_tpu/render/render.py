@@ -105,22 +105,60 @@ def _rasterize_bwd(static, res, g):
         (d_t[N_DCOLS],) + tuple(d_t[i] for i in range(N_DCOLS)), num_keys=1,
         is_stable=False,
     )
-    # 16-wide cumsum table: the boundary row gather out of a 9-wide table runs
-    # ~5x slower per row than out of the 64-byte-row (N,16) attr table (28 vs
-    # 6 ns/row on v5e at 1M rows); 7 zero columns cost ~0.3 ms of cumsum
-    # bandwidth to put the gather on the fast path.
-    d_sorted = jnp.stack(
-        sorted_ops[1:] + (ATTR_DIM - N_DCOLS) * (jnp.zeros_like(sorted_ops[0]),),
-        axis=1,
-    )[:pair_budget]                                             # (budget, 16)
-    S = jnp.concatenate(
-        [jnp.zeros((1, ATTR_DIM), d_sorted.dtype), jnp.cumsum(d_sorted, axis=0)],
-        axis=0,
+    n_gauss = gauss_cum.shape[0]
+    from gsplat_tpu.render.segred_pallas import GB as _SR_GB
+    from gsplat_tpu.render.segred_pallas import PC as _SR_PC
+    from gsplat_tpu.render.segred_pallas import segment_sum_sorted
+
+    import os as _os
+
+    p_k = -(-pair_budget // _SR_PC) * _SR_PC
+    # OPT-IN (GSPLAT_SEGRED=1): the kernel wins in isolation (boundary gather
+    # 28 ms + 16-col cumsum -> 15.7 ms at sparse scale, 38 ms at dense) but
+    # inserting it makes XLA's memory-space assignment stage ~15 f32[N]
+    # buffers through VMEM (async copies at ~12 ms each, +170 ms/step at 1M
+    # Gaussians on v5e; LIBTPU flags are unreachable through the axon
+    # tunnel). Default stays on the XLA cumsum-diff path until that
+    # scheduling interaction is solved.
+    use_segred = (
+        not interpret and n_gauss % _SR_GB == 0
+        and len(sorted_ops[0]) >= p_k
+        and _os.environ.get("GSPLAT_SEGRED", "0") == "1"
     )
-    T_b = S[jnp.minimum(gauss_cum, pair_budget)][:, :N_DCOLS]   # (N, 9)
-    d_live = T_b - jnp.concatenate(
-        [jnp.zeros((1, N_DCOLS), T_b.dtype), T_b[:-1]], axis=0
-    )
+    if use_segred:
+        # fused Pallas segment reduction: per-Gaussian sums straight off the
+        # gid-sorted rows — no budget-long 16-col cumsum, no boundary gather
+        # (that gather alone was ~28 ms at 1M rows on v5e: XLA prices gather
+        # rows at latency, not bandwidth). Rows 9..15 of the stacked table are
+        # inert (col sums discarded); row 9 carries the key row to keep the
+        # concat a single contiguous copy.
+        ops_k = tuple(o[:p_k] for o in sorted_ops)
+        d16 = jnp.stack(
+            ops_k[1:] + (ops_k[0],)
+            + (ATTR_DIM - N_DCOLS - 1) * (jnp.zeros_like(ops_k[0]),),
+            axis=0,
+        )                                                       # (16, p_k)
+        d_live = segment_sum_sorted(
+            d16, jnp.minimum(gauss_cum, pair_budget), interpret=interpret
+        )[:, :N_DCOLS]                                          # (N, 9)
+    else:
+        # XLA fallback (interpret mode / tiny capacities): 16-wide cumsum
+        # table — the boundary row gather out of a 9-wide table runs ~5x
+        # slower per row than out of the 64-byte-row (N,16) layout.
+        d_sorted = jnp.stack(
+            sorted_ops[1:]
+            + (ATTR_DIM - N_DCOLS) * (jnp.zeros_like(sorted_ops[0]),),
+            axis=1,
+        )[:pair_budget]                                         # (budget, 16)
+        S = jnp.concatenate(
+            [jnp.zeros((1, ATTR_DIM), d_sorted.dtype),
+             jnp.cumsum(d_sorted, axis=0)],
+            axis=0,
+        )
+        T_b = S[jnp.minimum(gauss_cum, pair_budget)][:, :N_DCOLS]  # (N, 9)
+        d_live = T_b - jnp.concatenate(
+            [jnp.zeros((1, N_DCOLS), T_b.dtype), T_b[:-1]], axis=0
+        )
     d_attrs = jnp.concatenate(
         [d_live, jnp.zeros((n_rows - d_live.shape[0], N_DCOLS), d_live.dtype)],
         axis=0,
@@ -175,6 +213,10 @@ def render(
     """
     from gsplat_tpu.render.project import project_gaussians
 
+    # NOTE: wrapping this in jax.checkpoint to shed the projection residuals
+    # was measured and rejected (sparse bench 215 -> 519 ms on v5e): the
+    # recompute runs through the lane-padded (N,3)/(N,1) projection layouts
+    # at ~1/42 HBM efficiency, far above what the saved residuals cost.
     proj = project_gaussians(
         g, cam, scaling_modifier=scaling_modifier,
         override_color=override_color, mean2d_offset=mean2d_offset,
