@@ -202,7 +202,22 @@ def _matmul_precision():
 def _dg(a, b, ca, cb):
     """dot_general contracting axis ca of a with axis cb of b (f32 accum,
     input precision per the mode — see note above). In split mode this is the
-    fallback for matmuls with NO bf16-exact operand (rgb@w, d_rgb)."""
+    fallback for matmuls with NO bf16-exact operand (rgb@w, d_rgb).
+
+    GSPLAT_DG_COMP=1 (experimental, measured-only): replace HIGHEST's 6-pass
+    synthesis with a 4-pass compensated product — a_hi(bf16) against the
+    3-term bf16 expansion of b, plus one 1-pass correction (a - a_hi) @ b.
+    Input-error class ~2^-18 (vs ~2^-24): the residual a_lo*b_err cross term
+    is bounded by |a| 2^-9 * |b| 2^-9. Only sanctioned for the image/d_rgb
+    accumulations whose operands are O(1) weights; OFF by default until a
+    long training run validates it (bf16 1-pass was observed to diverge)."""
+    if _PRECISION_MODE == "split" and _os.environ.get("GSPLAT_DG_COMP") == "1":
+        a_hi = a.astype(jnp.bfloat16)
+        out = None
+        for h in _split_terms(b, SPLIT_TERMS):
+            d = _dg_1pass(a_hi, h, ca, cb)
+            out = d if out is None else out + d
+        return out + _dg_1pass(a - a_hi.astype(jnp.float32), b, ca, cb)
     return jax.lax.dot_general(
         a, b, (((ca,), (cb,)), ((), ())), preferred_element_type=jnp.float32,
         precision=_matmul_precision(),
@@ -265,12 +280,22 @@ def _tri(c: int, dtype) -> jnp.ndarray:
 
 def _cumsum0(x: jnp.ndarray) -> jnp.ndarray:
     """Inclusive cumsum along axis 0 as lower-triangular matmuls (MXU; Mosaic has
-    no cumsum lowering). Hierarchical: 32-row triangular blocks + sequential
-    carry — the tri matmul cost is O(block * pixels) per pair, so 32-wide blocks
-    cost 4x less than one 128-wide tri. The 0/1 triangular matrix is bf16-exact,
-    so split mode runs these at SPLIT_TERMS passes."""
+    no cumsum lowering). The 0/1 triangular matrix is bf16-exact, so split mode
+    runs these at SPLIT_TERMS passes.
+
+    Block width: under a MAC model, 32-row triangular blocks + a sequential
+    carry cost 4x less than one 128-wide tri (the tri matmul does
+    O(block * pixels) useful work per pair). The MXU-pass counter-model (the
+    round-2.5 HIGHEST/split/DEFAULT A/B = 252/215/178 ms was ~linear in
+    synthesis passes) predicts the opposite — one k=128 tri issues 4x fewer
+    passes than four k=32 blocks. MEASURED on the v5e sparse bench, same
+    session as a 221.0 ms baseline: sub=128 -> 224.4 ms, i.e. a wash/slight
+    regression — short-k matmuls evidently pipeline well enough that the MAC
+    model wins for triangular blocks (unlike bf16 synthesis passes, which
+    re-stream full-k operands). sub=32 stays the default; env-tunable for
+    re-measurement on other TPU generations."""
     c = x.shape[0]
-    sub = 32
+    sub = int(_os.environ.get("GSPLAT_CUMSUM_SUB", "32"))
     if c <= sub or c % sub != 0:
         return _dgx(_tri(c, x.dtype), x, 1, 0, exact="a")
     tri = _tri(sub, x.dtype)

@@ -129,3 +129,22 @@ def test_budget_overflow_reported():
     g, cam = tiny_scene(n=50)
     out = render(cam, g, jnp.zeros(3), tile_size=TILE, chunk=8, pair_budget=64)
     assert int(out.n_dropped) > 0
+
+
+def test_cumsum0_block_width_equivalence(monkeypatch):
+    """The in-kernel triangular-matmul cumsum must compute the same prefix sums
+    at every block width (GSPLAT_CUMSUM_SUB is a pure MXU-pass-count lever;
+    sub=128 was measured faster on v5e, sub=32 is the MAC-model optimum)."""
+    from gsplat_tpu.render.raster_pallas import _cumsum0
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(128, 257)).astype(np.float32))
+    ref = jnp.cumsum(x, axis=0)
+    outs = []
+    for sub in ("32", "64", "128"):
+        monkeypatch.setenv("GSPLAT_CUMSUM_SUB", sub)
+        out = _cumsum0(x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-4)
+        outs.append(np.asarray(out))
+    np.testing.assert_allclose(outs[0], outs[2], rtol=2e-5, atol=2e-4)
