@@ -23,7 +23,10 @@ def main():
     ap.add_argument("--iters", type=int, default=30000)
     ap.add_argument("--width", type=int, default=960)
     ap.add_argument("--height", type=int, default=540)
-    ap.add_argument("--n_cams", type=int, default=48)
+    # 120 cams is the defensible default: the 48-cam variant is scene-limited
+    # (19 dB train/test overfit gap from sparse view coverage); at 120 cams the
+    # gap closes to ~1.7 dB and the number measures the trainer, not the scene.
+    ap.add_argument("--n_cams", type=int, default=120)
     ap.add_argument("--n_gt", type=int, default=60000)
     ap.add_argument("--capacity", type=int, default=1 << 17)
     ap.add_argument("--pair_budget", type=int, default=1 << 21)
