@@ -189,6 +189,12 @@ import os as _os
 
 _PRECISION_MODE = _os.environ.get("GSPLAT_MATMUL_PRECISION", "split")
 SPLIT_TERMS = int(_os.environ.get("GSPLAT_SPLIT_TERMS", "3"))
+# All precision/shape knobs freeze at IMPORT (like _PRECISION_MODE): jit caches
+# do not key on env vars, so a post-trace toggle would silently do nothing.
+_DG_COMP = _os.environ.get("GSPLAT_DG_COMP") == "1"
+_CUMSUM_SUB = int(_os.environ.get("GSPLAT_CUMSUM_SUB", "32"))
+if _CUMSUM_SUB < 1:
+    raise ValueError(f"GSPLAT_CUMSUM_SUB must be >= 1, got {_CUMSUM_SUB}")
 
 
 def _matmul_precision():
@@ -199,7 +205,7 @@ def _matmul_precision():
     }[_PRECISION_MODE]
 
 
-def _dg(a, b, ca, cb):
+def _dg(a, b, ca, cb, comp_ok: bool = False):
     """dot_general contracting axis ca of a with axis cb of b (f32 accum,
     input precision per the mode — see note above). In split mode this is the
     fallback for matmuls with NO bf16-exact operand (rgb@w, d_rgb).
@@ -209,9 +215,12 @@ def _dg(a, b, ca, cb):
     3-term bf16 expansion of b, plus one 1-pass correction (a - a_hi) @ b.
     Input-error class ~2^-18 (vs ~2^-24): the residual a_lo*b_err cross term
     is bounded by |a| 2^-9 * |b| 2^-9. Only sanctioned for the image/d_rgb
-    accumulations whose operands are O(1) weights; OFF by default until a
-    long training run validates it (bf16 1-pass was observed to diverge)."""
-    if _PRECISION_MODE == "split" and _os.environ.get("GSPLAT_DG_COMP") == "1":
+    accumulations whose operands are O(1) weights, which pass comp_ok=True;
+    every other callsite (notably the _dgx exact_ok=False fallback, whose
+    pixel-basis operands are large at tile_size > 32) stays HIGHEST even with
+    the flag on. OFF by default until a long training run validates it (bf16
+    1-pass was observed to diverge)."""
+    if _PRECISION_MODE == "split" and _DG_COMP and comp_ok:
         a_hi = a.astype(jnp.bfloat16)
         out = None
         for h in _split_terms(b, SPLIT_TERMS):
@@ -269,7 +278,8 @@ def _dgx(a, b, ca, cb, exact: str, exact_ok: bool = True):
 
 
 def _mm(a, b):
-    return _dg(a, b, 1, 0)
+    # image accumulation rgb@w — the one fwd callsite sanctioned for DG_COMP
+    return _dg(a, b, 1, 0, comp_ok=True)
 
 
 def _tri(c: int, dtype) -> jnp.ndarray:
@@ -295,7 +305,7 @@ def _cumsum0(x: jnp.ndarray) -> jnp.ndarray:
     re-stream full-k operands). sub=32 stays the default; env-tunable for
     re-measurement on other TPU generations."""
     c = x.shape[0]
-    sub = int(_os.environ.get("GSPLAT_CUMSUM_SUB", "32"))
+    sub = _CUMSUM_SUB
     if c <= sub or c % sub != 0:
         return _dgx(_tri(c, x.dtype), x, 1, 0, exact="a")
     tri = _tri(sub, x.dtype)
@@ -482,7 +492,7 @@ def _bwd_kernel(
             1.0 - alpha, approx=False
         )
         dalpha = dalpha * chain
-        d_rgb = _dg(g_rgb, w, 1, 1)              # (3, chunk)
+        d_rgb = _dg(g_rgb, w, 1, 1, comp_ok=True)  # (3, chunk)
         gda = G * dalpha
         d_op = _dgx(ones_pix, gda, 1, 1, exact="a")  # (1, chunk)
         dpow = op_col * gda                      # (chunk, npix)
