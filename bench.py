@@ -140,17 +140,18 @@ def run_config(n, width, height, *, tile_size, chunk, pair_budget, iters,
                 tile_size=tile_size, chunk=chunk, pair_budget=pair_budget,
                 tight_cull=tight_cull,
             )
-            return photometric_loss(out.image, cam.image, 0.2), (out.n_pairs, out.n_culled)
+            return photometric_loss(out.image, cam.image, 0.2), (
+                out.n_pairs, out.n_culled, out.n_contrib)
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(g.params())
-        return loss, aux[0], aux[1], grads["xyz"]
+        return loss, aux[0], aux[1], aux[2], grads["xyz"]
 
     print("compiling fwd+bwd", file=sys.stderr, flush=True)
     t0 = time.time()
     compiled = fwd_bwd.lower(g).compile()
     compile_s = time.time() - t0
     print(f"compiled in {compile_s:.0f}s; first run", file=sys.stderr, flush=True)
-    loss, n_pairs, n_culled, gxyz = jax.block_until_ready(compiled(g))
+    loss, n_pairs, n_culled, n_contrib, gxyz = jax.block_until_ready(compiled(g))
     assert bool(jnp.isfinite(loss)) and bool(jnp.all(jnp.isfinite(gxyz))), (
         "non-finite loss/grads at bench scale"
     )
@@ -188,9 +189,12 @@ def run_config(n, width, height, *, tile_size, chunk, pair_budget, iters,
         n_culled = int(nc_probe)
 
     if auto_kept and int(n_culled) > 0:
-        # second pass: size every post-sort stage by the culled pair count
-        # (the adaptive-budget equivalent of what a training run converges to)
+        # second pass: size every post-sort stage by the culled pair count and
+        # the backward d-array/gradient reduction by the measured saturation-
+        # compacted row count (the adaptive-budget equivalent of what a
+        # training run converges to). +1 chunk/contrib-align of slack each.
         kept = -(-int(int(n_pairs) - int(n_culled) + chunk) // chunk) * chunk
+        contrib = -(-int(n_contrib) // 512) * 512 + 512
 
         @jax.jit
         def fwd_bwd_kept(g):
@@ -199,17 +203,21 @@ def run_config(n, width, height, *, tile_size, chunk, pair_budget, iters,
                     cam, g.with_params(params), bg,
                     tile_size=tile_size, chunk=chunk, pair_budget=pair_budget,
                     tight_cull=tight_cull, kept_budget=kept,
+                    contrib_budget=contrib,
                 )
-                return photometric_loss(out.image, cam.image, 0.2), out.n_dropped
+                return photometric_loss(out.image, cam.image, 0.2), (
+                    out.n_dropped, out.n_contrib)
 
-            (loss, nd), grads = jax.value_and_grad(loss_fn, has_aux=True)(g.params())
-            return loss, nd, grads["xyz"]
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(g.params())
+            return loss, aux[0], aux[1], grads["xyz"]
 
-        print(f"compiling kept-budget pass (kept={kept})", file=sys.stderr,
-              flush=True)
+        print(f"compiling kept-budget pass (kept={kept}, contrib={contrib})",
+              file=sys.stderr, flush=True)
         ck = fwd_bwd_kept.lower(g).compile()
-        loss_k, nd_k, gk = jax.block_until_ready(ck(g))
+        loss_k, nd_k, nc_k, gk = jax.block_until_ready(ck(g))
         assert int(nd_k) == 0 and bool(jnp.isfinite(loss_k)), (int(nd_k), loss_k)
+        assert int(nc_k) <= contrib, (int(nc_k), contrib)
+        assert bool(jnp.all(jnp.isfinite(gk))), "non-finite grads (kept pass)"
         kept_ms = float("inf")
         for _ in range(iters):
             t0 = time.time()
@@ -225,6 +233,7 @@ def run_config(n, width, height, *, tile_size, chunk, pair_budget, iters,
         "pairs": int(n_pairs),
         "pairs_per_pixel": round(int(n_pairs) / pixels, 2),
         "culled": int(n_culled),
+        "contrib": int(n_contrib),
         "loss": round(float(loss), 5),
         "compile_s": round(compile_s, 1),
     }
@@ -280,10 +289,16 @@ def main():
     bw = next((v for k, v in HBM_BW.items() if k in dev_kind), 819e9)
     sol_pix_per_s = bw / (192.0 * max(sparse["pairs_per_pixel"], 1e-9))
     vs = sparse["best_pix_per_s"] / sol_pix_per_s
-    # compute roofline: the same step priced at VPU throughput (see C_OPS note)
+    # compute roofline: the same step priced at VPU throughput (see C_OPS
+    # note). Priced work = pair slots the kernels actually composite
+    # (n_contrib: chunk-granular count BEFORE the per-tile saturation
+    # early-exit), not every kept pair — on dense scenes ~90% of kept pairs
+    # sit behind saturation and never touch the VPU, so pricing them made the
+    # round-2 dense roofline read 94% while the kernels ran 76 of 866 ms
+    # (VERDICT r2 weak #3).
     vpu = next((v for k, v in VPU_SLOTS.items() if k in dev_kind), 3.85e12)
     vpu_sol_ms = {
-        name: cfg["pairs"] * tile_size * tile_size * C_OPS_FWD_BWD / vpu * 1e3
+        name: cfg["contrib"] * tile_size * tile_size * C_OPS_FWD_BWD / vpu * 1e3
         for name, cfg in (("sparse", sparse), ("dense", dense))
     }
     vs_vpu = vpu_sol_ms["sparse"] / max(sparse["best_step_ms"], 1e-9)
@@ -306,6 +321,8 @@ def main():
         "culled": sparse["culled"],
         "dense_culled": dense["culled"],
         "dense_kept_step_ms": dense.get("kept_step_ms"),
+        "contrib": sparse["contrib"],
+        "dense_contrib": dense["contrib"],
         "vpu_sol_ms": round(vpu_sol_ms["sparse"], 2),
         "dense_vpu_sol_ms": round(vpu_sol_ms["dense"], 2),
         "vs_vpu_sol": round(vs_vpu, 4),

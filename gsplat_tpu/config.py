@@ -109,6 +109,17 @@ class MeshParams:
     kept_frac: float = 1.0       # post-sort stage sizing as a fraction of
                                  # pair_budget (<1 exploits the tight tile
                                  # cull; overflow grows the budget adaptively)
+    contrib_frac: float = 1.0    # backward d-array / gradient-reduction sizing
+                                 # as a fraction of pair_budget (<1 exploits the
+                                 # saturation early-exit: only pairs composited
+                                 # before per-tile saturation carry gradient;
+                                 # overflow steps zero grads and the budget
+                                 # regrows adaptively from n_contrib telemetry)
+    shard_gaussians: bool = False  # ZeRO-style layout: Gaussian params, Adam
+                                 # moments and densify accumulators sharded over
+                                 # the data axis (large-N memory scaling); the
+                                 # infrequent densify/reset/checkpoint steps
+                                 # gather->run->reshard (transiently replicated)
     precision: str = "f32"       # rasterizer accumulation precision
 
 

@@ -48,6 +48,8 @@ class Binning(NamedTuple):
     n_pairs: jnp.ndarray      # () int32 total expansion slots (budget monitoring)
     n_dropped: jnp.ndarray    # () int32 pairs dropped by budget overflow
     n_culled: jnp.ndarray     # () int32 rect pairs removed by the tight tile cull
+    grad_ok: jnp.ndarray      # () bool: False on kept-budget overflow (the
+    #                           rasterizer zeroes that step's gradients)
 
 
 def tile_grid(width: int, height: int, tile_size: int) -> Tuple[int, int]:
@@ -419,18 +421,16 @@ def bin_gaussians(
         gauss_cum = cum
         kept_total = n_valid
         n_culled = jnp.zeros((), jnp.int32)
-    # kept overflow: the dropped suffix is (tile,depth)-ordered, NOT gid-
-    # ordered, so the expansion-order boundary table no longer matches the
-    # d-array contents — a clamp would sum rows into the WRONG Gaussians
-    # (every segment after the first dropped pair shifts by one). Zero the
-    # boundary table instead: the rasterizer contributes exactly zero
-    # gradient for the (<=10, see the driver's adaptive-budget lag) overflow
-    # steps, n_dropped reports the overflow, and the driver regrows.
+    # kept overflow: the kernels then composite a TRUNCATED pair set (tile
+    # segments clamped to kept_budget). The rasterizer zeroes that step's
+    # gradients via grad_ok, n_dropped reports the overflow, and the driver's
+    # adaptive budget regrows (<= a few overflow steps per growth event).
     overflow = kept_total > kept_budget
     gauss_cum = jnp.where(overflow, 0, jnp.minimum(gauss_cum, kept_budget))
     n_dropped = n_dropped + jnp.maximum(kept_total - kept_budget, 0)
 
     return Binning(
+        grad_ok=jnp.logical_not(overflow),
         gid_s=gid_s,
         gauss_offsets=offsets,
         gauss_cum=gauss_cum,

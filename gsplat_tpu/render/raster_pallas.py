@@ -329,7 +329,7 @@ def _seg(ts_ref, tc_ref, i, chunk):
 
 
 def _fwd_kernel(
-    ts_ref, tc_ref, os_ref, attrs_hbm, out_ref, buf, sems,
+    ts_ref, tc_ref, attrs_hbm, out_ref, nproc_ref, buf, sems,
     *, tw: int, tile_size: int, chunk: int,
 ):
     npix = tile_size * tile_size
@@ -389,23 +389,41 @@ def _fwd_kernel(
 
     out_ref[0, :3, :] = acc
     out_ref[0, 3:4, :] = T
+    # chunks actually composited before saturation: the backward pass writes
+    # d-rows ONLY for these (pairs past saturation get exactly zero gradient
+    # under the truncated-forward semantics), so the gradient sort and
+    # reduction run over the COMPACTED d-array instead of every kept pair —
+    # on dense scenes ~90% of chunks sit behind saturation (the round-2
+    # profile's 296 ms 10-operand grad sort priced all of them).
+    nproc_ref[i] = j_end
 
 
 def _bwd_kernel(
-    ts_ref, tc_ref, os_ref, attrs_hbm, res_ref, g_ref, d_init_hbm, d_hbm,
-    ibuf, obuf, isems, osems, *, tw: int, tile_size: int, chunk: int,
+    ts_ref, tc_ref, cs_ref, np_ref, attrs_hbm, res_ref, g_ref, d_init_hbm,
+    d_hbm, ibuf, obuf, isems, osems, *, tw: int, tile_size: int, chunk: int,
 ):
     # d_init_hbm is aliased to d_hbm (input_output_aliases): the caller
     # pre-fills d with zeros + KEY_INVALID keys so the rows no tile writes
-    # (the region tail past the last tile, plus any unused budget) hold inert
+    # (the compacted-region tail past the last processed chunk) hold inert
     # keys instead of UNINITIALIZED HBM — on hardware, garbage bytes there can
     # alias real Gaussian ids and corrupt the sort-reduction (interpret mode
     # zero-fills buffers, so CPU parity cannot catch this).
+    #
+    # cs_ref/np_ref (saturation compaction, round 3): the forward kernel
+    # reports how many chunks each tile composited before transmittance
+    # saturation (nproc); the caller cumsums those into per-tile COMPACTED
+    # output offsets. This kernel sweeps exactly nproc chunks — pairs behind
+    # saturation receive exactly zero gradient under the truncated-forward
+    # semantics, so their d-rows (and the old key-only tail loop that used to
+    # emit them for the gauss_cum boundary table) are simply absent; the
+    # reduction derives per-Gaussian boundaries from the sorted keys instead.
     del d_init_hbm
     npix = tile_size * tile_size
     i = pl.program_id(0)
     astart, head, count, nch = _seg(ts_ref, tc_ref, i, chunk)
-    ostart = pl.multiple_of(os_ref[i], chunk)
+    del nch
+    nproc = np_ref[i]
+    ostart = pl.multiple_of(cs_ref[i], chunk)
     h = tile_size // 2
     ox = ((i % tw) * tile_size + h).astype(jnp.float32)
     oy = ((i // tw) * tile_size + h).astype(jnp.float32)
@@ -429,23 +447,15 @@ def _bwd_kernel(
             obuf.at[slot], d_hbm.at[:, pl.ds(ostart + j * chunk, chunk)], osems.at[slot]
         )
 
-    @pl.when(nch > 0)
+    @pl.when(nproc > 0)
     def _():
         idma(0, 0).start()
 
-    def cond(state):
-        # saturation early-out as a LOOP EXIT (mirrors _fwd_kernel): once
-        # every pixel's transmittance is below T_EPS no later pair receives
-        # gradient, so the remaining chunks only need their gid keys emitted
-        # (the cheap tail loop below) — not the ~10 matmuls of real math.
-        j, t_run, prefix = state
-        return (j < nch) & (jnp.max(t_run) >= T_EPS)
-
-    def body(state):
-        j, t_run, prefix = state
+    def body(j, state):
+        t_run, prefix = state
         slot = j % 2
 
-        @pl.when(j + 1 < nch)
+        @pl.when(j + 1 < nproc)
         def _():
             idma((j + 1) % 2, j + 1).start()
 
@@ -510,68 +520,38 @@ def _bwd_kernel(
         )
         odma(slot, j).start()
         return (
-            j + 1,
             t_run * jnp.exp(jnp.sum(lg, axis=0, keepdims=True)),
             pref[chunk - 1 : chunk, :],
         )
 
     t0 = jnp.ones((1, npix), jnp.float32)
     p0 = jnp.zeros((1, npix), jnp.float32)
-    j_end, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.zeros((), jnp.int32), t0, p0)
-    )
-
-    # key-only tail for chunks past saturation: every live pair must still
-    # emit its gid key exactly once (zero d rows) so the sort-reduction sees
-    # it. The read DMA still moves the full 16-row chunk — Mosaic requires
-    # HBM slices 8-sublane-aligned, so row 9 alone is not expressible — but
-    # all per-pair math and matmuls are skipped. Chunk j_end's read is
-    # already in flight (prefetched by the last live body, or by the
-    # pre-loop start when j_end == 0 < nch).
-    def tail(j, _):
-        slot = j % 2
-
-        @pl.when(j + 1 < nch)
-        def _():
-            idma((j + 1) % 2, j + 1).start()
-
-        idma(slot, j).wait()
-
-        @pl.when(j >= 2)
-        def _():
-            odma(slot, j - 2).wait()
-
-        key_row = jnp.where(
-            _valid_row(j, head, count, chunk), ibuf[slot][9:10, :], KEY_INVALID
-        )
-        obuf[slot] = jnp.concatenate(
-            [jnp.zeros((9, chunk), jnp.float32), key_row,
-             jnp.zeros((ATTR_DIM - 10, chunk), jnp.float32)], axis=0
-        )
-        odma(slot, j).start()
-        return 0
-
-    jax.lax.fori_loop(j_end, nch, tail, 0)
+    jax.lax.fori_loop(0, nproc, body, (t0, p0))
 
     # retire trailing write DMAs
-    @pl.when(nch >= 1)
+    @pl.when(nproc >= 1)
     def _():
-        odma((nch - 1) % 2, nch - 1).wait()
+        odma((nproc - 1) % 2, nproc - 1).wait()
 
-    @pl.when(nch >= 2)
+    @pl.when(nproc >= 2)
     def _():
-        odma((nch - 2) % 2, nch - 2).wait()
+        odma((nproc - 2) % 2, nproc - 2).wait()
 
 
-def _fwd_call(attrs_t, tile_start, tile_count, out_start, *, num_tiles, tw,
+def _fwd_call(attrs_t, tile_start, tile_count, *, num_tiles, tw,
               tile_size, chunk, interpret):
     npix = tile_size * tile_size
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, 4, npix), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec(
+                (1, 4, npix), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            # whole-array SMEM (rank-1 sub-128 blocks don't lower on Mosaic);
+            # each grid step writes its own slot: num_tiles*4B <= 32 KB
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, ATTR_DIM, chunk), jnp.float32),
@@ -581,22 +561,25 @@ def _fwd_call(attrs_t, tile_start, tile_count, out_start, *, num_tiles, tw,
     return pl.pallas_call(
         functools.partial(_fwd_kernel, tw=tw, tile_size=tile_size, chunk=chunk),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles, 4, npix), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles, 4, npix), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles,), jnp.int32),
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(tile_start, tile_count, out_start, attrs_t)
+    )(tile_start, tile_count, attrs_t)
 
 
-def _bwd_call(attrs_t, tile_start, tile_count, out_start, res, g, *, num_tiles,
-              tw, tile_size, chunk, p_out, interpret):
+def _bwd_call(attrs_t, tile_start, tile_count, comp_start, nproc, res, g, *,
+              num_tiles, tw, tile_size, chunk, p_out, interpret):
     npix = tile_size * tile_size
     tile_block = pl.BlockSpec(
         (1, 4, npix), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -627,31 +610,34 @@ def _bwd_call(attrs_t, tile_start, tile_count, out_start, res, g, *, num_tiles,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-        # operand index counts the 3 scalar-prefetch args: d_init is operand 6
-        input_output_aliases={6: 0},
+        # operand index counts the 4 scalar-prefetch args: d_init is operand 7
+        input_output_aliases={7: 0},
         interpret=interpret,
-    )(tile_start, tile_count, out_start, attrs_t, res, g, d_init)
+    )(tile_start, tile_count, comp_start, nproc, attrs_t, res, g, d_init)
 
 
-def composite_fwd(attrs_t, tile_start, tile_count, out_start, *, num_tiles, tw,
+def composite_fwd(attrs_t, tile_start, tile_count, *, num_tiles, tw,
                   tile_size, chunk, interpret):
     """Forward tile compositing over the COMPACT sorted pair layout.
     attrs_t (16, pair_budget); per-tile tables (num_tiles,) int32.
-    -> tiles (num_tiles, 4, npix): rgb accumulation + final transmittance.
-    Tiles with zero pairs come out exactly (0,0,0,T=1)."""
+    -> (tiles, nproc): tiles (num_tiles, 4, npix) rgb accumulation + final
+    transmittance; nproc (num_tiles,) int32 chunks composited before the
+    saturation early-exit (the backward pass sweeps exactly these).
+    Tiles with zero pairs come out exactly (0,0,0,T=1, nproc=0)."""
     return _fwd_call(
-        attrs_t, tile_start, tile_count, out_start,
+        attrs_t, tile_start, tile_count,
         num_tiles=num_tiles, tw=tw, tile_size=tile_size, chunk=chunk,
         interpret=interpret,
     )
 
 
-def composite_bwd(attrs_t, tile_start, tile_count, out_start, res, g, *,
-                  num_tiles, tw, tile_size, chunk, p_out, interpret):
-    """Backward sweep -> (16, p_out) d-rows in per-tile aligned regions; row 9
-    carries each row's Gaussian-id key (KEY_INVALID on masked/padding rows)."""
+def composite_bwd(attrs_t, tile_start, tile_count, comp_start, nproc, res, g,
+                  *, num_tiles, tw, tile_size, chunk, p_out, interpret):
+    """Backward sweep -> (16, p_out) d-rows COMPACTED into per-tile regions
+    [comp_start[t], comp_start[t] + nproc[t]*chunk); row 9 carries each row's
+    Gaussian-id key (KEY_INVALID on masked rows and the unwritten tail)."""
     return _bwd_call(
-        attrs_t, tile_start, tile_count, out_start, res, g,
+        attrs_t, tile_start, tile_count, comp_start, nproc, res, g,
         num_tiles=num_tiles, tw=tw, tile_size=tile_size, chunk=chunk,
         p_out=p_out, interpret=interpret,
     )

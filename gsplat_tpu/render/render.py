@@ -52,113 +52,143 @@ def _gather_with_gid(attrs, gid_s):
     return jnp.concatenate([g9, gid_f, zeros], axis=1).T
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _rasterize(attrs, gid_s, tile_start, tile_count, out_start, gauss_cum, static):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _rasterize(attrs, gid_s, tile_start, tile_count, grad_ok, static):
     """attrs (N+1,16) differentiable per-Gaussian attributes (row N inert null);
-    binning tables int32 (stop-grad). -> tiles (num_tiles, 4, npix)."""
-    num_tiles, tw, tile_size, chunk, pair_budget, interpret = static
+    binning tables int32 (stop-grad); grad_ok () bool (False on kept-budget
+    overflow -> that step's gradients are zeroed, see binning.bin_gaussians).
+    -> (tiles (num_tiles, 4, npix), nproc (num_tiles,) int32)."""
+    num_tiles, tw, tile_size, chunk, pair_budget, c_budget, interpret = static
     gathered_t = _gather_with_gid(attrs, gid_s)
     return composite_fwd(
-        gathered_t, tile_start, tile_count, out_start,
+        gathered_t, tile_start, tile_count,
         num_tiles=num_tiles, tw=tw, tile_size=tile_size, chunk=chunk,
         interpret=interpret,
     )
 
 
-def _rasterize_fwd(attrs, gid_s, tile_start, tile_count, out_start, gauss_cum,
-                   static):
-    num_tiles, tw, tile_size, chunk, pair_budget, interpret = static
+def _rasterize_fwd(attrs, gid_s, tile_start, tile_count, grad_ok, static):
+    num_tiles, tw, tile_size, chunk, pair_budget, c_budget, interpret = static
     gathered_t = _gather_with_gid(attrs, gid_s)
-    tiles = composite_fwd(
-        gathered_t, tile_start, tile_count, out_start,
+    tiles, nproc = composite_fwd(
+        gathered_t, tile_start, tile_count,
         num_tiles=num_tiles, tw=tw, tile_size=tile_size, chunk=chunk,
         interpret=interpret,
     )
-    res = (gathered_t, tile_start, tile_count, out_start, gauss_cum,
+    res = (gathered_t, tile_start, tile_count, nproc, grad_ok,
            tiles, attrs.shape[0])
-    return tiles, res
+    return (tiles, nproc), res
 
 
 def _rasterize_bwd(static, res, g):
-    num_tiles, tw, tile_size, chunk, pair_budget, interpret = static
-    gathered_t, tile_start, tile_count, out_start, gauss_cum, tiles, n_rows = res
-    p_out = out_budget(pair_budget, num_tiles, chunk)
+    num_tiles, tw, tile_size, chunk, pair_budget, c_budget, interpret = static
+    gathered_t, tile_start, tile_count, nproc, grad_ok, tiles, n_rows = res
+    g_tiles = g[0]  # nproc is integer telemetry -> symbolic-zero cotangent
+
+    # SATURATION COMPACTION (round 3): the forward kernel composited only
+    # nproc[t] chunks per tile before transmittance saturated; every pair in a
+    # later chunk gets exactly zero gradient under the truncated-forward
+    # semantics. The backward d-array therefore holds ONLY the processed
+    # chunks, packed into per-tile regions by this cumsum — on the dense bench
+    # ~90% of kept pairs sit behind saturation, and the 10-operand gradient
+    # sort below shrinks by the same factor (it was the single largest line of
+    # the round-2 dense profile at 296 ms).
+    cmax = c_budget // chunk
+    np_c = jnp.minimum(nproc, cmax)
+    sizes = np_c * chunk
+    cum_sz = jnp.cumsum(sizes)
+    total = cum_sz[-1]
+    overflow = total > c_budget
+    # overflow safety: clamp regions into the buffer (writes may then overlap
+    # between tiles — harmless, the whole gradient is zeroed below)
+    comp_start = jnp.minimum(cum_sz - sizes, c_budget - sizes).astype(jnp.int32)
 
     d_t = composite_bwd(
-        gathered_t, tile_start, tile_count, out_start, tiles, g,
+        gathered_t, tile_start, tile_count, comp_start, np_c, tiles, g_tiles,
         num_tiles=num_tiles, tw=tw, tile_size=tile_size, chunk=chunk,
-        p_out=p_out, interpret=interpret,
-    )  # (16, p_out); row 9 = per-row gid key, KEY_INVALID on masked/pad rows
+        p_out=c_budget, interpret=interpret,
+    )  # (16, c_budget); row 9 = per-row gid key, KEY_INVALID on masked/pad rows
 
-    # per-Gaussian reduction: ONE sort by gid key groups every live pair's
-    # d-row contiguously in gid order (== expansion-segment order), then a
-    # cumsum + boundary difference at the per-Gaussian inclusive counts.
+    # per-Gaussian reduction: ONE sort by gid key groups every contributing
+    # pair's d-row contiguously in gid order; per-Gaussian boundaries come
+    # from a searchsorted over the sorted key row (the d-array is a SUBSET of
+    # the kept pairs, so binning-side counts cannot locate them).
     # The key is the f32 gid value carried in d row 9 (sorts correctly as a
     # float; masked/unwritten rows carry KEY_INVALID and sort last).
     # Deliberately a 10-OPERAND sort: sorting (key, iota) and applying the
-    # permutation afterwards as a (p_out, 9) row gather was measured SLOWER on
-    # v5e at both densities (sparse 304->348 ms, dense 1492->2053 ms/step) —
-    # the transpose out of the kernel's (16, P) layout plus the 42M-row random
+    # permutation afterwards as a row gather was measured SLOWER on v5e at
+    # both densities (sparse 304->348 ms, dense 1492->2053 ms/step) — the
+    # transpose out of the kernel's (16, P) layout plus the budget-long random
     # gather cost more than dragging 9 extra f32 operands through every
     # compare-exchange pass of the sort.
     sorted_ops = jax.lax.sort(
         (d_t[N_DCOLS],) + tuple(d_t[i] for i in range(N_DCOLS)), num_keys=1,
         is_stable=False,
     )
-    n_gauss = gauss_cum.shape[0]
+    key_s = sorted_ops[0]
+    n_gauss = n_rows - 1
     from gsplat_tpu.render.segred_pallas import GB as _SR_GB
     from gsplat_tpu.render.segred_pallas import PC as _SR_PC
     from gsplat_tpu.render.segred_pallas import segment_sum_sorted
 
     import os as _os
 
-    p_k = -(-pair_budget // _SR_PC) * _SR_PC
-    # OPT-IN (GSPLAT_SEGRED=1): the kernel wins in isolation (boundary gather
-    # 28 ms + 16-col cumsum -> 15.7 ms at sparse scale, 38 ms at dense) but
-    # inserting it makes XLA's memory-space assignment stage ~15 f32[N]
-    # buffers through VMEM (async copies at ~12 ms each, +170 ms/step at 1M
-    # Gaussians on v5e; LIBTPU flags are unreachable through the axon
-    # tunnel). Default stays on the XLA cumsum-diff path until that
-    # scheduling interaction is solved.
     use_segred = (
-        not interpret and n_gauss % _SR_GB == 0
-        and len(sorted_ops[0]) >= p_k
-        and _os.environ.get("GSPLAT_SEGRED", "0") == "1"
+        not interpret and n_gauss % _SR_GB == 0 and c_budget % _SR_PC == 0
+        and _os.environ.get("GSPLAT_SEGRED", "1") == "1"
     )
     if use_segred:
         # fused Pallas segment reduction: per-Gaussian sums straight off the
         # gid-sorted rows — no budget-long 16-col cumsum, no boundary gather
         # (that gather alone was ~28 ms at 1M rows on v5e: XLA prices gather
-        # rows at latency, not bandwidth). Rows 9..15 of the stacked table are
-        # inert (col sums discarded); row 9 carries the key row to keep the
-        # concat a single contiguous copy.
-        ops_k = tuple(o[:p_k] for o in sorted_ops)
+        # rows at latency, not bandwidth). Block windows: position of each
+        # 128-Gaussian block boundary in the sorted keys (nb+1 tiny queries).
+        # Rows 9..15 of the stacked table are inert (col sums discarded);
+        # row 9 carries the key row to keep the concat a single contiguous
+        # copy.
+        nb = n_gauss // _SR_GB
+        bounds = (jnp.arange(nb + 1, dtype=jnp.int32) * _SR_GB).astype(
+            jnp.float32
+        )
+        pos = jnp.searchsorted(key_s, bounds, side="left").astype(jnp.int32)
         d16 = jnp.stack(
-            ops_k[1:] + (ops_k[0],)
-            + (ATTR_DIM - N_DCOLS - 1) * (jnp.zeros_like(ops_k[0]),),
+            sorted_ops[1:] + (key_s,)
+            + (ATTR_DIM - N_DCOLS - 1) * (jnp.zeros_like(key_s),),
             axis=0,
-        )                                                       # (16, p_k)
+        )                                                       # (16, c_budget)
         d_live = segment_sum_sorted(
-            d16, jnp.minimum(gauss_cum, pair_budget), interpret=interpret
+            d16, lo_b=pos[:-1], hi_b=pos[1:], n=n_gauss, interpret=interpret
         )[:, :N_DCOLS]                                          # (N, 9)
     else:
-        # XLA fallback (interpret mode / tiny capacities): 16-wide cumsum
-        # table — the boundary row gather out of a 9-wide table runs ~5x
-        # slower per row than out of the 64-byte-row (N,16) layout.
+        # XLA fallback (interpret mode / unaligned capacities): 16-wide cumsum
+        # table + per-Gaussian boundary positions from a searchsorted over the
+        # sorted keys, then an adjacent difference. (The 16-wide layout: the
+        # boundary row gather out of a 9-wide table runs ~5x slower per row
+        # than out of the 64-byte-row (N,16) layout.)
         d_sorted = jnp.stack(
             sorted_ops[1:]
-            + (ATTR_DIM - N_DCOLS) * (jnp.zeros_like(sorted_ops[0]),),
+            + (ATTR_DIM - N_DCOLS) * (jnp.zeros_like(key_s),),
             axis=1,
-        )[:pair_budget]                                         # (budget, 16)
+        )                                                       # (c_budget, 16)
         S = jnp.concatenate(
             [jnp.zeros((1, ATTR_DIM), d_sorted.dtype),
              jnp.cumsum(d_sorted, axis=0)],
             axis=0,
         )
-        T_b = S[jnp.minimum(gauss_cum, pair_budget)][:, :N_DCOLS]  # (N, 9)
+        ends = jnp.searchsorted(
+            key_s, jnp.arange(1, n_gauss + 1, dtype=jnp.int32)
+            .astype(jnp.float32), side="left",
+        )
+        T_b = S[ends][:, :N_DCOLS]                              # (N, 9)
         d_live = T_b - jnp.concatenate(
             [jnp.zeros((1, N_DCOLS), T_b.dtype), T_b[:-1]], axis=0
         )
+    # zero the whole step's gradient on either overflow (kept-budget overflow
+    # flagged by binning, or contrib-budget overflow detected above); the
+    # driver's adaptive budgets regrow and the step is repeated semantically
+    # (upstream has no analogue — budgets are the static-shape price).
+    scale = (grad_ok & jnp.logical_not(overflow)).astype(d_live.dtype)
+    d_live = d_live * scale
     d_attrs = jnp.concatenate(
         [d_live, jnp.zeros((n_rows - d_live.shape[0], N_DCOLS), d_live.dtype)],
         axis=0,
@@ -168,8 +198,7 @@ def _rasterize_bwd(static, res, g):
     )
     zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     return (d_attrs, zero_i(jnp.zeros(gathered_t.shape[1], jnp.int32)),
-            zero_i(tile_start), zero_i(tile_count), zero_i(out_start),
-            zero_i(gauss_cum))
+            zero_i(tile_start), zero_i(tile_count), zero_i(grad_ok))
 
 
 _rasterize.defvjp(_rasterize_fwd, _rasterize_bwd)
@@ -183,6 +212,8 @@ class RenderOutput(NamedTuple):
     n_pairs: jnp.ndarray      # () int32 live pair count (budget telemetry)
     n_dropped: jnp.ndarray    # () int32 pairs dropped by budget overflow
     n_culled: jnp.ndarray     # () int32 rect pairs removed by the tight tile cull
+    n_contrib: jnp.ndarray    # () int32 pair slots composited before saturation
+    #                           (chunk-granular; sizes contrib_budget adaptively)
 
 
 def render(
@@ -200,6 +231,7 @@ def render(
     region: Optional[tuple] = None,
     tight_cull: bool = True,
     kept_budget: Optional[int] = None,
+    contrib_budget: Optional[int] = None,
 ) -> RenderOutput:
     """Render `g` through `cam` over background `bg` (3,).
 
@@ -225,7 +257,7 @@ def render(
         proj, cam.width, cam.height, bg,
         tile_size=tile_size, chunk=chunk, pair_budget=pair_budget,
         interpret=interpret, region=region, tight_cull=tight_cull,
-        kept_budget=kept_budget,
+        kept_budget=kept_budget, contrib_budget=contrib_budget,
     )
 
 
@@ -242,6 +274,7 @@ def render_projected(
     region: Optional[tuple] = None,
     tight_cull: bool = True,
     kept_budget: Optional[int] = None,
+    contrib_budget: Optional[int] = None,
 ) -> RenderOutput:
     """Bin + rasterize a pre-computed `Projection` (render.project.Projection).
 
@@ -249,11 +282,17 @@ def render_projected(
     the tile is provably < 1/255 (exact quadratic min over the tile box) — the
     rendered image is identical, the kernels sweep fewer chunks.
 
-    kept_budget (< pair_budget) additionally sizes every post-sort stage (attr
-    gather, kernels, backward d-array, gradient reduction) by the culled pair
-    count instead of the expansion slot count — the dense-scene lever, since
-    the sort compacts culled pairs to the tail. Kept overflow shows up in
-    n_dropped exactly like slot overflow.
+    kept_budget (< pair_budget) additionally sizes the post-sort stages (attr
+    gather, kernels) by the culled pair count instead of the expansion slot
+    count, since the sort compacts culled pairs to the tail. Kept overflow
+    shows up in n_dropped exactly like slot overflow.
+
+    contrib_budget sizes the BACKWARD d-array and the per-Gaussian gradient
+    reduction by the pairs actually composited before the per-tile saturation
+    early-exit (n_contrib telemetry; on dense scenes ~10% of kept pairs).
+    Defaults to a capacity that can never overflow; when set lower and the
+    compacted rows exceed it, that step's gradients are zeroed — the driver
+    detects this as n_contrib > contrib_budget and regrows adaptively.
 
     Split out of `render()` so the sharded-Gaussian SPMD step can project each
     Gaussian shard on its owner device, exchange the (much smaller) projected
@@ -270,6 +309,12 @@ def render_projected(
     if kept_budget is None:
         kept_budget = pair_budget
     kept_budget = min(-(-kept_budget // chunk) * chunk, pair_budget)
+    if contrib_budget is None:
+        # worst case: every tile's aligned chunk range fully composited
+        contrib_budget = out_budget(kept_budget, num_tiles, chunk)
+    # align to the segred kernel's 512-pair DMA chunk (and the tile chunk)
+    c_align = chunk if chunk % 128 != 0 else max(chunk, 512)
+    contrib_budget = -(-contrib_budget // c_align) * c_align
 
     if y0 is not None:
         shift = jnp.stack(
@@ -306,10 +351,11 @@ def render_projected(
             "limit of the gradient reduction"
         )
     # every post-sort stage sees only the kept prefix of the sorted pairs
-    static = (num_tiles, tw, tile_size, chunk, kept_budget, bool(interpret))
-    tiles = _rasterize(
+    static = (num_tiles, tw, tile_size, chunk, kept_budget, contrib_budget,
+              bool(interpret))
+    tiles, nproc = _rasterize(
         attrs, binning.gid_s[:kept_budget], binning.tile_start,
-        binning.tile_count, binning.out_start, binning.gauss_cum, static,
+        binning.tile_count, binning.grad_ok, static,
     )
 
     rgb, transmittance = untile_image(tiles, tw, th, tile_size, width, height)
@@ -322,6 +368,7 @@ def render_projected(
         n_pairs=binning.n_pairs,
         n_dropped=binning.n_dropped,
         n_culled=binning.n_culled,
+        n_contrib=jnp.sum(nproc) * chunk,
     )
 
 

@@ -106,26 +106,34 @@ def _segred_kernel(lo_ref, hi_ref, d_hbm, out_ref, buf, sems):
     out_ref[...] = jax.lax.fori_loop(0, nch, body, acc0)
 
 
-def segment_sum_sorted(d_t: jnp.ndarray, cum: jnp.ndarray, *,
-                       interpret: bool = False) -> jnp.ndarray:
+def segment_sum_sorted(d_t: jnp.ndarray, cum: jnp.ndarray = None, *,
+                       lo_b: jnp.ndarray = None, hi_b: jnp.ndarray = None,
+                       n: int = None, interpret: bool = False) -> jnp.ndarray:
     """d_t (16, P) gid-sorted gradient rows with row IDROW = per-pair Gaussian
-    id (exact f32 value; anything >= N on padding rows); cum (N,) int32
-    inclusive per-Gaussian pair counts (monotone, clamped to <= P). Returns
-    (N, 16) per-Gaussian sums: out[g] = sum over d_t columns whose id == g
-    (all inside [cum[g-1], cum[g])).
+    id (exact f32 value; anything >= N on padding rows). Returns (N, 16)
+    per-Gaussian sums: out[g] = sum over d_t columns whose id == g.
+
+    Block windows come from EITHER:
+    - cum (N,) int32 inclusive per-Gaussian pair counts (monotone, <= P) when
+      every Gaussian's pairs are present in the sorted rows, OR
+    - lo_b/hi_b (N//GB,) int32 directly — e.g. from a searchsorted over the
+      sorted key row when the rows are a subset of the pairs (round-3
+      saturation compaction: pairs behind the early-exit have no d-row).
 
     N must be a multiple of 128 and P a multiple of 512."""
-    n = cum.shape[0]
     p = d_t.shape[1]
     assert d_t.shape[0] == ATTR_DIM, d_t.shape
-    assert n % GB == 0, n
     assert p % PC == 0, p
+    if cum is not None:
+        n = cum.shape[0]
+        cum = cum.astype(jnp.int32)
+        lo_b = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), cum[GB - 1:-1:GB]]
+        )                            # (nb,) first segment start per block
+        hi_b = cum[GB - 1::GB]       # (nb,) last segment end per block
+    assert n % GB == 0, n
     nb = n // GB
-    cum = cum.astype(jnp.int32)
-    lo_b = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), cum[GB - 1:-1:GB]]
-    )                                # (nb,) first segment start per block
-    hi_b = cum[GB - 1::GB]           # (nb,) last segment end per block
+    assert lo_b.shape == (nb,) and hi_b.shape == (nb,), (lo_b.shape, nb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -104,6 +104,15 @@ def _kept_budget(mesh: MeshParams, budget: int) -> Optional[int]:
     return max(int(budget * mesh.kept_frac), mesh.chunk_size)
 
 
+def _contrib_budget0(mesh: MeshParams, budget: int) -> Optional[int]:
+    """contrib_frac < 1 sizes the backward d-array + gradient reduction by the
+    saturation-compacted pair count (see render.render_projected); None means
+    the never-overflows worst case."""
+    if mesh.contrib_frac >= 1.0:
+        return None
+    return max(int(budget * mesh.contrib_frac), 512)
+
+
 def make_train_step(
     opt: OptimizationParams,
     mesh: MeshParams,
@@ -111,14 +120,18 @@ def make_train_step(
     width: int,
     height: int,
     pair_budget: Optional[int] = None,
+    contrib_budget: Optional[int] = None,
 ) -> Callable:
     """Build the jitted train step for a fixed camera resolution. The Gaussians
     pytree's static fields (capacity via shapes, active_sh_degree) participate in
     the jit cache key automatically; pair_budget overrides mesh.pair_budget (the
-    driver resizes it adaptively)."""
+    driver resizes it adaptively), contrib_budget likewise for the backward
+    compaction budget."""
     lr_fns = make_lr_fns(opt, spatial_lr_scale)
     budget = pair_budget if pair_budget is not None else mesh.pair_budget
     kept = _kept_budget(mesh, budget)
+    if contrib_budget is None:
+        contrib_budget = _contrib_budget0(mesh, budget)
 
     @jax.jit
     def train_step(
@@ -140,6 +153,7 @@ def make_train_step(
                 chunk=mesh.chunk_size,
                 pair_budget=budget,
                 kept_budget=kept,
+                contrib_budget=contrib_budget,
                 mean2d_offset=mean2d_offset,
             )
             loss = photometric_loss(out.image, cam.image, opt.lambda_dssim)
@@ -156,7 +170,7 @@ def make_train_step(
         # EMA on device: the driver must not force a host sync every iteration
         new_ema = jnp.where(step <= 1, loss, 0.4 * loss + 0.6 * ema)
         return (g_new, new_opt_state, loss, new_ema,
-                out.n_pairs, out.n_dropped, out.n_culled)
+                out.n_pairs, out.n_dropped, out.n_culled, out.n_contrib)
 
     return train_step
 
@@ -242,10 +256,16 @@ def train(
         )
     n_mesh_dev = mesh.data_axis * mesh.tile_axis
     spmd = n_mesh_dev > 1
+    sharded = spmd and mesh.shard_gaussians
+    if mesh.shard_gaussians and not spmd:
+        printer.print("--shard_gaussians ignored on a 1-device mesh")
     multihost = False
     if spmd:
+        from gsplat_tpu.dist.data import replicate_gaussians, shard_gaussians
         from gsplat_tpu.dist.mesh import make_mesh
-        from gsplat_tpu.dist.spmd import make_spmd_train_step, stack_cameras
+        from gsplat_tpu.dist.spmd import (
+            make_sharded_spmd_train_step, make_spmd_train_step, stack_cameras,
+        )
 
         if n_mesh_dev > len(jax.devices()):
             raise ValueError(
@@ -255,30 +275,70 @@ def train(
         dev_mesh = make_mesh(data=mesh.data_axis, tile=mesh.tile_axis)
         printer.print(
             f"SPMD: {mesh.data_axis}-camera batches x {mesh.tile_axis} tile bands"
+            + (" (ZeRO-sharded Gaussians)" if sharded else "")
             + (f" over {jax.process_count()} processes"
                if jax.process_count() > 1 else "")
         )
         multihost = jax.process_count() > 1
         if multihost:
-            from gsplat_tpu.dist.data import global_camera_batch, replicate_gaussians
+            from gsplat_tpu.dist.data import global_camera_batch
             from gsplat_tpu.dist.mesh import local_data_rows
 
             my_rows = local_data_rows(dev_mesh)
-            # replicate the model across the global mesh up-front so the first
-            # step compiles once with steady-state shardings
+        if sharded and g.capacity % mesh.data_axis != 0:
+            raise ValueError(
+                f"--shard_gaussians needs capacity % data_axis == 0 "
+                f"(got {g.capacity} % {mesh.data_axis})"
+            )
+        # place the model across the global mesh up-front so the first step
+        # compiles once with steady-state shardings
+        if sharded:
+            g, opt_state = shard_gaussians(dev_mesh, g, opt_state)
+        elif multihost:
             g = replicate_gaussians(dev_mesh, g)
             opt_state = replicate_gaussians(dev_mesh, opt_state)
 
-    def build_step(budget):
+    # sharded mode: the per-step path keeps every (CAP, ...) leaf sharded over
+    # `data`; the INFREQUENT whole-model operations (densify/prune every 100
+    # iters, opacity reset every 3000, checkpoint/PLY saves, eval) gather to
+    # replicated, run the exact same jitted code as the replicated path
+    # (bit-identical results), then reshard. The transient gather needs full-
+    # model HBM on each device — fine up to the documented 2^24-Gaussian id
+    # ceiling; past it these ops would need the per-shard densify redesign.
+    def to_host_view(g_, opt_state_=None):
+        if not sharded:
+            return g_ if opt_state_ is None else (g_, opt_state_)
+        if opt_state_ is None:
+            return replicate_gaussians(dev_mesh, g_)
+        return (replicate_gaussians(dev_mesh, g_),
+                replicate_gaussians(dev_mesh, opt_state_))
+
+    def to_step_view(g_, opt_state_):
+        if not sharded:
+            return g_, opt_state_
+        return shard_gaussians(dev_mesh, g_, opt_state_)
+
+    contrib_budget = _contrib_budget0(mesh, pair_budget)
+    if "contrib_budget" in resume_extras and contrib_budget is not None:
+        contrib_budget = max(contrib_budget, int(resume_extras["contrib_budget"]))
+
+    def build_step(budget, contrib):
+        if sharded:
+            return make_sharded_spmd_train_step(
+                dev_mesh, opt, mesh, g.spatial_lr_scale, w, h,
+                pair_budget=budget, contrib_budget=contrib,
+            )
         if spmd:
             return make_spmd_train_step(
-                dev_mesh, opt, mesh, g.spatial_lr_scale, w, h, pair_budget=budget
+                dev_mesh, opt, mesh, g.spatial_lr_scale, w, h,
+                pair_budget=budget, contrib_budget=contrib,
             )
         return make_train_step(opt, mesh, g.spatial_lr_scale, w, h,
-                               pair_budget=budget)
+                               pair_budget=budget, contrib_budget=contrib)
 
-    train_step = build_step(pair_budget)
+    train_step = build_step(pair_budget, contrib_budget)
     low_usage_streak = 0
+    low_contrib_streak = 0
 
     metrics = MetricsLogger(model.model_path if is_main else None)
 
@@ -326,6 +386,8 @@ def train(
             "rng_key": np.asarray(rng),
             "ema_loss": np.asarray(ema_loss, np.float32),
             "pair_budget": np.asarray(pair_budget, np.int64),
+            **({"contrib_budget": np.asarray(contrib_budget, np.int64)}
+               if contrib_budget is not None else {}),
             "cam_order": np.asarray(cam_order, np.int64),
             "low_usage_streak": np.asarray(low_usage_streak, np.int64),
             "py_random": np.frombuffer(
@@ -369,7 +431,8 @@ def train(
                             continue
                         viewer.training_paused = False
                         break
-                    _serve_gui_request(req, g, bg, mesh, pair_budget)
+                    _serve_gui_request(req, to_host_view(g), bg, mesh,
+                                       pair_budget)
                     viewer.training_paused = (not req.do_training
                                               and req.keep_alive)
 
@@ -413,7 +476,8 @@ def train(
                 step_input = stack_cameras(picks)
             else:
                 step_input = cam
-            g, opt_state, loss, ema_loss, n_pairs, n_dropped, n_culled = train_step(
+            (g, opt_state, loss, ema_loss, n_pairs, n_dropped, n_culled,
+             n_contrib) = train_step(
                 g, opt_state, step_input, step_bg,
                 jnp.asarray(iteration, jnp.int32), ema_loss,
             )
@@ -426,12 +490,25 @@ def train(
                 pass
             elif int(n_dropped) > 0:
                 pair_budget *= 2
+                if contrib_budget is not None:
+                    contrib_budget *= 2
                 printer.print(
                     f"[iter {iteration}] pair budget {pair_budget // 2} -> {pair_budget} "
                     f"({int(n_dropped)} pairs dropped; recompiling)"
                 )
-                train_step = build_step(pair_budget)
+                train_step = build_step(pair_budget, contrib_budget)
                 low_usage_streak = 0
+            elif contrib_budget is not None and int(n_contrib) > contrib_budget:
+                # contrib overflow zeroed this step's gradients (the image is
+                # still exact); regrow the compaction budget
+                contrib_budget = max(contrib_budget * 2,
+                                     -(-int(n_contrib) // 512) * 512)
+                printer.print(
+                    f"[iter {iteration}] contrib budget -> {contrib_budget} "
+                    f"({int(n_contrib)} compacted rows; recompiling)"
+                )
+                train_step = build_step(pair_budget, contrib_budget)
+                low_contrib_streak = 0
             elif int(n_pairs) * 4 < pair_budget and pair_budget > mesh.pair_budget:
                 low_usage_streak += 1
                 if low_usage_streak >= 20:  # 20 checks x 10 iters = 200 iterations
@@ -439,10 +516,24 @@ def train(
                     printer.print(
                         f"[iter {iteration}] pair budget shrink -> {pair_budget}"
                     )
-                    train_step = build_step(pair_budget)
+                    train_step = build_step(pair_budget, contrib_budget)
                     low_usage_streak = 0
             else:
                 low_usage_streak = 0
+                if (contrib_budget is not None
+                        and int(n_contrib) * 4 < contrib_budget
+                        and contrib_budget > _contrib_budget0(mesh, pair_budget)):
+                    low_contrib_streak += 1
+                    if low_contrib_streak >= 20:
+                        contrib_budget //= 2
+                        printer.print(
+                            f"[iter {iteration}] contrib budget shrink -> "
+                            f"{contrib_budget}"
+                        )
+                        train_step = build_step(pair_budget, contrib_budget)
+                        low_contrib_streak = 0
+                else:
+                    low_contrib_streak = 0
 
             # --- logging / eval / save / checkpoint FIRST (upstream order:
             # training_report runs before densify/reset within an iteration, so
@@ -453,7 +544,7 @@ def train(
                 t0 = time.time()
                 if viewer is not None and viewer.url:
                     pv = eval_render(
-                        g, train_cams[0], bg,
+                        to_host_view(g), train_cams[0], bg,
                         tile_size=mesh.tile_size, chunk=mesh.chunk_size,
                         pair_budget=pair_budget,
                     )
@@ -471,14 +562,14 @@ def train(
                 )
 
             if iteration in other.test_iterations:
-                evaluate(scene, g, bg, opt, mesh, printer, iteration, metrics,
-                         pair_budget=pair_budget)
+                evaluate(scene, to_host_view(g), bg, opt, mesh, printer,
+                         iteration, metrics, pair_budget=pair_budget)
 
             if iteration in other.save_iterations and is_main:
                 printer.print(f"[iter {iteration}] saving point cloud")
                 save_ply(
                     Path(out_dir) / "point_cloud" / f"iteration_{iteration}" / "point_cloud.ply",
-                    g,
+                    to_host_view(g),
                 )
 
             # --- densification (upstream schedule; reference params.h:50-91) ---
@@ -489,6 +580,8 @@ def train(
                 ):
                     max_screen = 20.0 if iteration > opt.opacity_reset_interval else 0.0
                     rng, sub = jax.random.split(rng)
+                    if sharded:  # gather -> identical replicated densify -> reshard
+                        g, opt_state = to_host_view(g, opt_state)
                     g, opt_state, dropped = densify_and_prune_jit(
                         g, opt_state, sub,
                         max_grad=jnp.float32(opt.densify_grad_threshold),
@@ -507,18 +600,25 @@ def train(
                         )
                         g = grow_capacity(g, new_cap)
                         opt_state = _grow_opt_state(opt_state, new_cap)
+                    if sharded:
+                        g, opt_state = to_step_view(g, opt_state)
 
                 if iteration % opt.opacity_reset_interval == 0 or (
                     model.white_background and iteration == opt.densify_from_iter
                 ):
+                    if sharded:
+                        g, opt_state = to_host_view(g, opt_state)
                     g, opt_state = reset_opacity_jit(g, opt_state)
+                    if sharded:
+                        g, opt_state = to_step_view(g, opt_state)
 
             # checkpoint LAST within the iteration (upstream train.py order:
             # after densify + optimizer step) so resume at iteration+1 is exact
             if iteration in other.checkpoint_iterations and is_main:
                 printer.print(f"[iter {iteration}] saving checkpoint")
+                g_ck, opt_ck = to_host_view(g, opt_state)
                 save_checkpoint(
-                    Path(out_dir) / f"chkpnt{iteration}.npz", g, opt_state,
+                    Path(out_dir) / f"chkpnt{iteration}.npz", g_ck, opt_ck,
                     iteration, extra=loop_extras(),
                 )
 
@@ -527,7 +627,8 @@ def train(
         # emergency checkpoint so --start_checkpoint can resume exactly here
         path = Path(out_dir) / f"chkpnt_interrupt_{iteration}.npz"
         printer.print(f"interrupted at iter {iteration}; saving {path}")
-        save_checkpoint(path, g, opt_state, iteration, extra=loop_extras())
+        g_ck, opt_ck = to_host_view(g, opt_state)
+        save_checkpoint(path, g_ck, opt_ck, iteration, extra=loop_extras())
         raise
     finally:
         metrics.close()
