@@ -133,9 +133,18 @@ def _rasterize_bwd(static, res, g):
 
     import os as _os
 
+    # OPT-IN (GSPLAT_SEGRED=1): the fused segment-reduction kernel replaces
+    # ~20 ms of fallback stages (method='sort' searchsorted 5.8 + extract
+    # fusions ~17 + 16-col cumsum + boundary gather 6.5) with a ~16 ms kernel
+    # — but inserting it still flips XLA memory-space assignment into staging
+    # ~15 f32[N] projection/VJP buffers through VMEM (sparse step 171 ->
+    # 341 ms device-side, round-3 profile; unchanged by the accepted
+    # xla_tpu_async_copy_bandwidth_scaling_factor=0.05 compiler option —
+    # see scripts/probe_compiler_options.py for the validated-flag evidence).
+    # Net win is now small and the cascade risk is not; default stays off.
     use_segred = (
         not interpret and n_gauss % _SR_GB == 0 and c_budget % _SR_PC == 0
-        and _os.environ.get("GSPLAT_SEGRED", "1") == "1"
+        and _os.environ.get("GSPLAT_SEGRED", "0") == "1"
     )
     if use_segred:
         # fused Pallas segment reduction: per-Gaussian sums straight off the
@@ -175,9 +184,12 @@ def _rasterize_bwd(static, res, g):
              jnp.cumsum(d_sorted, axis=0)],
             axis=0,
         )
+        # method='sort': the default 'scan' binary search runs log2(P) rounds
+        # of N-element gathers (~157 ms at N=1M on v5e — gathers price at
+        # latency); one extra 2-operand sort over keys+queries costs ~7 ms
         ends = jnp.searchsorted(
             key_s, jnp.arange(1, n_gauss + 1, dtype=jnp.int32)
-            .astype(jnp.float32), side="left",
+            .astype(jnp.float32), side="left", method="sort",
         )
         T_b = S[ends][:, :N_DCOLS]                              # (N, 9)
         d_live = T_b - jnp.concatenate(

@@ -44,7 +44,7 @@ def print_xplane_summary(trace_dir: str, steps: int) -> None:
                 tot[name] += ev.duration_ps
                 cnt[name] += 1
         print(f"== {plane.name} (top ops, ms/step over {steps} steps)")
-        for name, ps in sorted(tot.items(), key=lambda kv: -kv[1])[:25]:
+        for name, ps in sorted(tot.items(), key=lambda kv: -kv[1])[:45]:
             if cnt[name] < steps:  # skip line aggregates
                 continue
             print(f"  {ps / 1e9 / steps:9.3f} ms  x{cnt[name] // steps:4d}  {name[:100]}")
@@ -63,6 +63,11 @@ def main():
     ap.add_argument("--pair_budget", type=int, default=5 << 19)
     ap.add_argument("--kept_budget", type=int, default=0,
                     help="post-sort stage size (0 = pair_budget, no split)")
+    ap.add_argument("--contrib_budget", type=int, default=0,
+                    help="backward d-array size (0 = never-overflows default)")
+    ap.add_argument("--compiler_option", action="append", default=[],
+                    help="k=v XLA compiler option (repeatable); probed names "
+                         "in scripts/probe_compiler_options.py")
     ns = ap.parse_args()
 
     from bench import build_scene
@@ -78,13 +83,15 @@ def main():
         def loss_fn(params):
             out = render(cam, g.with_params(params), bg, tile_size=ns.tile_size,
                          chunk=ns.chunk, pair_budget=ns.pair_budget,
-                         kept_budget=ns.kept_budget or None)
+                         kept_budget=ns.kept_budget or None,
+                         contrib_budget=ns.contrib_budget or None)
             return photometric_loss(out.image, cam.image, 0.2), out.n_pairs
         (l, npair), grads = jax.value_and_grad(loss_fn, has_aux=True)(g.params())
         return l, npair, grads["xyz"]
 
     print("compiling...", file=sys.stderr)
-    c = jax.jit(f).lower(g).compile()
+    copts = dict(kv.split("=", 1) for kv in ns.compiler_option)
+    c = jax.jit(f).lower(g).compile(compiler_options=copts or None)
     float(c(g)[0])  # host-fetch sync: block_until_ready returns early on the
     jax.profiler.start_trace(ns.trace_dir)  # axon-tunneled backend
     for _ in range(ns.steps):
