@@ -559,6 +559,7 @@ def train(
                     n_gaussians=int(g.n_live), capacity=g.capacity,
                     it_per_s=round(rate, 2), n_dropped_pairs=int(n_dropped),
                     n_culled_pairs=int(n_culled),
+                    n_contrib_pairs=int(n_contrib),
                 )
 
             if iteration in other.test_iterations:

@@ -243,3 +243,69 @@ def test_kept_budget_split():
     g_starved = jax.grad(loss)(g.params(), starved_kb)
     for leaf in jax.tree.leaves(g_starved):
         assert float(np.max(np.abs(np.asarray(leaf)))) == 0.0
+
+
+def test_contrib_budget_compaction():
+    """Saturation compaction (round 3): the backward d-array + gradient
+    reduction sized by contrib_budget. Sufficient budget -> identical image
+    and gradients; starved budget -> exact image, EXACTLY ZERO gradients
+    (never wrong ones) and n_contrib telemetry the driver regrows from."""
+    import jax
+
+    from tests.fixtures import look_at_rig
+    from gsplat_tpu.core.camera import make_camera
+    from gsplat_tpu.core.gaussians import create_from_pcd
+    from gsplat_tpu.render.render import render
+
+    rng = np.random.default_rng(11)
+    n = 60
+    g = create_from_pcd(rng.normal(size=(n, 3)) * 0.4, rng.random((n, 3)),
+                        capacity=64)
+    # big opaque splats -> tiles saturate early -> contrib << kept
+    sc = np.full((n, 3), -0.3, np.float32)
+    op = np.full((n, 1), 3.0, np.float32)  # sigmoid(3) = 0.95 opacity
+    g = g.replace(scaling=g.scaling.at[:n].set(jnp.asarray(sc)),
+                  opacity=g.opacity.at[:n].set(jnp.asarray(op)))
+    (R, T), = look_at_rig(1)
+    cam = make_camera(R, T, fovx=1.0, fovy=0.8, width=96, height=64,
+                      image=rng.random((64, 96, 3)).astype(np.float32))
+    bg = jnp.zeros(3, jnp.float32)
+
+    base = render(cam, g, bg, tile_size=16, chunk=8, pair_budget=1 << 12)
+    assert int(base.n_dropped) == 0
+    n_contrib = int(base.n_contrib)
+    n_kept = int(base.n_pairs) - int(base.n_culled)
+    # chunk-granular count: bounded by the kept pairs' chunk-aligned superset,
+    # and saturation must actually bite in this scene
+    assert 0 < n_contrib < n_kept, (n_contrib, n_kept)
+
+    def loss(params, cb):
+        o = render(cam, g.with_params(params), bg, tile_size=16, chunk=8,
+                   pair_budget=1 << 12, contrib_budget=cb)
+        return jnp.sum(o.image ** 2)
+
+    fitted = -(-n_contrib // 8) * 8
+    out = render(cam, g, bg, tile_size=16, chunk=8, pair_budget=1 << 12,
+                 contrib_budget=fitted)
+    np.testing.assert_array_equal(np.asarray(out.image), np.asarray(base.image))
+    assert int(out.n_contrib) == n_contrib
+
+    g_full = jax.grad(loss)(g.params(), None)
+    g_fit = jax.grad(loss)(g.params(), fitted)
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_fit)):
+        d = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        scale = float(np.max(np.abs(np.asarray(a)))) + 1e-12
+        assert d <= 2e-3 * scale + 1e-4, (d, scale)
+
+    # starved compaction budget: the image is still exact, the gradients are
+    # exactly zero (clamped overlapping writes must never leak into sums),
+    # and n_contrib > budget is the driver's regrow signal
+    starved_cb = 8
+    assert starved_cb < n_contrib
+    sv = render(cam, g, bg, tile_size=16, chunk=8, pair_budget=1 << 12,
+                contrib_budget=starved_cb)
+    np.testing.assert_array_equal(np.asarray(sv.image), np.asarray(base.image))
+    assert int(sv.n_contrib) == n_contrib  # telemetry unaffected by the clamp
+    g_starved = jax.grad(loss)(g.params(), starved_cb)
+    for leaf in jax.tree.leaves(g_starved):
+        assert float(np.max(np.abs(np.asarray(leaf)))) == 0.0

@@ -152,3 +152,25 @@ def test_full_eval(tmp_path):
     assert set(summary) == {"sceneA", "sceneB"}
     for scene in summary.values():
         assert scene["test/ours_6"]["PSNR"] is not None
+
+
+def test_contrib_frac_cli(trained_model, tmp_path):
+    """--contrib_frac < 1 sizes the backward compaction budget; training
+    completes (regrowing adaptively if a step overflows) and the per-step
+    contributing-pair telemetry lands in metrics.jsonl."""
+    scene_root, _ = trained_model
+    out = tmp_path / "model_contrib"
+
+    from gsplat_tpu.cli import main
+
+    main([
+        "--source_path", str(scene_root), "--model_path", str(out),
+        "--iterations", "100", "--capacity", "64",
+        "--pair_budget", "4096", "--chunk_size", "32",
+        "--contrib_frac", "0.25", "--quiet",
+    ])
+    lines = [json.loads(l) for l in open(out / "metrics.jsonl")]
+    steps = [l for l in lines if "n_contrib_pairs" in l]
+    assert steps, "no per-step contrib telemetry logged"
+    assert all(l["n_contrib_pairs"] >= 0 for l in steps)
+    assert (out / "point_cloud" / "iteration_100" / "point_cloud.ply").exists()
