@@ -90,6 +90,7 @@ def make_spmd_train_step(
     interpret: Optional[bool] = None,
     pair_budget: Optional[int] = None,
     contrib_budget: Optional[int] = None,
+    sat_budget: Optional[int] = None,
 ) -> Callable:
     """Build the jitted multi-device train step.
 
@@ -112,10 +113,13 @@ def make_spmd_train_step(
     band_h = _band_height(height, n_tile, mp.tile_size)
     lr_fns = make_lr_fns(opt, spatial_lr_scale)
     budget = pair_budget if pair_budget is not None else mp.pair_budget
-    from gsplat_tpu.train.loop import _contrib_budget0, _kept_budget
+    from gsplat_tpu.train.loop import (
+        _contrib_budget0, _kept_budget, _sat_budget0,
+    )
     kept = _kept_budget(mp, budget)
     contrib = contrib_budget if contrib_budget is not None \
         else _contrib_budget0(mp, budget)
+    sat = sat_budget if sat_budget is not None else _sat_budget0(mp, budget)
 
     cam_spec = Camera(
         world_view=P(DATA_AXIS), full_proj=P(DATA_AXIS), cam_center=P(DATA_AXIS),
@@ -132,6 +136,7 @@ def make_spmd_train_step(
             cam, g2, bg,
             tile_size=mp.tile_size, chunk=mp.chunk_size,
             pair_budget=budget, kept_budget=kept, contrib_budget=contrib,
+            sat_budget=sat,
             mean2d_offset=offsets[0],
             interpret=interpret,
             region=(ti * band_h, band_h),
@@ -146,6 +151,7 @@ def make_spmd_train_step(
             out.radii[None], out.visible[None],
             out.n_dropped.reshape(1, 1), out.n_pairs.reshape(1, 1),
             out.n_culled.reshape(1, 1), out.n_contrib.reshape(1, 1),
+            out.n_sat.reshape(1, 1),
         )
 
     smapped = shard_map(
@@ -156,7 +162,8 @@ def make_spmd_train_step(
             P(),
             (P(DATA_AXIS), P(DATA_AXIS),
              P(DATA_AXIS, TILE_AXIS), P(DATA_AXIS, TILE_AXIS),
-             P(DATA_AXIS, TILE_AXIS), P(DATA_AXIS, TILE_AXIS)),
+             P(DATA_AXIS, TILE_AXIS), P(DATA_AXIS, TILE_AXIS),
+             P(DATA_AXIS, TILE_AXIS)),
         ),
         check_vma=False,
     )
@@ -173,7 +180,8 @@ def make_spmd_train_step(
         params = g.params()
         offsets = jnp.zeros((n_data, g.capacity, 2), jnp.float32)
 
-        (loss, (radii, visible, n_dropped, n_pairs, n_culled, n_contrib)), (
+        (loss, (radii, visible, n_dropped, n_pairs, n_culled, n_contrib,
+                n_sat)), (
             pgrads, off_grads
         ) = jax.value_and_grad(
             lambda p, o: smapped(p, o, g, cams, bg), argnums=(0, 1), has_aux=True
@@ -196,7 +204,7 @@ def make_spmd_train_step(
         return (
             g_new, new_opt_state, loss, new_ema,
             jnp.max(n_pairs), jnp.sum(n_dropped), jnp.sum(n_culled),
-            jnp.max(n_contrib),
+            jnp.max(n_contrib), jnp.max(n_sat),
         )
 
     return train_step
@@ -212,6 +220,7 @@ def make_sharded_spmd_train_step(
     interpret: Optional[bool] = None,
     pair_budget: Optional[int] = None,
     contrib_budget: Optional[int] = None,
+    sat_budget: Optional[int] = None,
 ) -> Callable:
     """Sharded-Gaussian SPMD step for large N (SURVEY.md §2.2 'Gaussians ...
     gathered per-tile at large N'; VERDICT r1 item 9).
@@ -237,10 +246,13 @@ def make_sharded_spmd_train_step(
     band_h = _band_height(height, n_tile, mp.tile_size)
     lr_fns = make_lr_fns(opt, spatial_lr_scale)
     budget = pair_budget if pair_budget is not None else mp.pair_budget
-    from gsplat_tpu.train.loop import _contrib_budget0, _kept_budget
+    from gsplat_tpu.train.loop import (
+        _contrib_budget0, _kept_budget, _sat_budget0,
+    )
     kept = _kept_budget(mp, budget)
     contrib = contrib_budget if contrib_budget is not None \
         else _contrib_budget0(mp, budget)
+    sat = sat_budget if sat_budget is not None else _sat_budget0(mp, budget)
 
     from gsplat_tpu.render.project import Projection, project_gaussians
     from gsplat_tpu.render.render import render_projected
@@ -304,7 +316,8 @@ def make_sharded_spmd_train_step(
         out = render_projected(
             proj, width, height, bg,
             tile_size=mp.tile_size, chunk=mp.chunk_size, pair_budget=budget,
-            kept_budget=kept, contrib_budget=contrib, interpret=interpret,
+            kept_budget=kept, contrib_budget=contrib, sat_budget=sat,
+            interpret=interpret,
             region=(ti * band_h, band_h),
         )
         full_img = jax.lax.all_gather(out.image, TILE_AXIS, axis=0, tiled=True)
@@ -315,6 +328,7 @@ def make_sharded_spmd_train_step(
             out.radii[None], out.visible[None],
             out.n_dropped.reshape(1, 1), out.n_pairs.reshape(1, 1),
             out.n_culled.reshape(1, 1), out.n_contrib.reshape(1, 1),
+            out.n_sat.reshape(1, 1),
         )
 
     def smapped(params, offsets, g, cams, bg):
@@ -327,7 +341,8 @@ def make_sharded_spmd_train_step(
                 P(),
                 (P(DATA_AXIS), P(DATA_AXIS),
                  P(DATA_AXIS, TILE_AXIS), P(DATA_AXIS, TILE_AXIS),
-                 P(DATA_AXIS, TILE_AXIS), P(DATA_AXIS, TILE_AXIS)),
+                 P(DATA_AXIS, TILE_AXIS), P(DATA_AXIS, TILE_AXIS),
+                 P(DATA_AXIS, TILE_AXIS)),
             ),
             check_vma=False,
         )(params, offsets, g, cams, bg)
@@ -338,7 +353,8 @@ def make_sharded_spmd_train_step(
         params = g.params()
         offsets = jnp.zeros((n_data, g.capacity, 2), jnp.float32)
 
-        (loss, (radii, visible, n_dropped, n_pairs, n_culled, n_contrib)), (
+        (loss, (radii, visible, n_dropped, n_pairs, n_culled, n_contrib,
+                n_sat)), (
             pgrads, off_grads
         ) = jax.value_and_grad(
             lambda p, o: smapped(p, o, g, cams, bg), argnums=(0, 1),
@@ -356,7 +372,7 @@ def make_sharded_spmd_train_step(
         return (
             g_new, new_opt_state, loss, new_ema,
             jnp.max(n_pairs), jnp.sum(n_dropped), jnp.sum(n_culled),
-            jnp.max(n_contrib),
+            jnp.max(n_contrib), jnp.max(n_sat),
         )
 
     return train_step

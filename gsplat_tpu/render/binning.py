@@ -39,16 +39,16 @@ import jax.numpy as jnp
 
 
 class Binning(NamedTuple):
-    gid_s: jnp.ndarray        # (pair_budget,) int32 sorted Gaussian ids; N when empty
-    gauss_offsets: jnp.ndarray  # (N,) int32 exclusive pair-count cumsum
-    gauss_cum: jnp.ndarray    # (N,) int32 inclusive KEPT-pair cumsum (grad segments)
+    gid_s: jnp.ndarray        # (pair_budget | sat_budget,) int32 sorted Gaussian
+    #                           ids (sat cull: compacted survivors); N when empty
     tile_start: jnp.ndarray   # (num_tiles,) int32 UNALIGNED pair offset per tile
     tile_count: jnp.ndarray   # (num_tiles,) int32 live pairs per tile
-    out_start: jnp.ndarray    # (num_tiles,) int32 chunk-aligned bwd output offset
     n_pairs: jnp.ndarray      # () int32 total expansion slots (budget monitoring)
     n_dropped: jnp.ndarray    # () int32 pairs dropped by budget overflow
     n_culled: jnp.ndarray     # () int32 rect pairs removed by the tight tile cull
-    grad_ok: jnp.ndarray      # () bool: False on kept-budget overflow (the
+    n_sat: jnp.ndarray        # () int32 chunk-aligned slots the saturation bound
+    #                           cull kept (0 when the cull is off) — sizes sat_budget
+    grad_ok: jnp.ndarray      # () bool: False on kept/sat-budget overflow (the
     #                           rasterizer zeroes that step's gradients)
 
 
@@ -138,10 +138,56 @@ def _rect_min_Q(a, b, c, lx, hx, ly, hy):
     return jnp.where(inside, 0.0, jnp.maximum(m, 0.0))
 
 
+def _rect_max_Q(a, b, c, lx, hx, ly, hy):
+    """Exact max over the box [lx,hx]x[ly,hy] of the PSD quadratic
+    Q(d) = 0.5*a*dx^2 + b*dx*dy + 0.5*c*dy^2 — convex, so the max is at one
+    of the 4 corners. Q at the farthest corner lower-bounds every pixel's
+    Gaussian falloff in the tile: alpha_min = opacity * exp(-maxQ)."""
+
+    def Q(dx, dy):
+        return 0.5 * a * dx * dx + b * dx * dy + 0.5 * c * dy * dy
+
+    return jnp.maximum(
+        jnp.maximum(Q(lx, ly), Q(lx, hy)), jnp.maximum(Q(hx, ly), Q(hx, hy))
+    )
+
+
+# --- saturation bound cull (round 3) -----------------------------------------
+# Per-pair conservative MINIMUM alpha over the whole tile (opacity * exp(-maxQ),
+# thresholded/clamped with the kernel's own _alphas_from_power semantics),
+# quantized DOWN to 6 bits of -log2(1 - alpha_min) in units of SAT_Q_SCALE and
+# packed into the gid's high bits so it rides the pair sort for free. After the
+# sort, an inclusive cumsum of q along each tile's depth-ordered pairs lower-
+# bounds -log2(T) for EVERY pixel; once the bound passes -log2(T_EPS) the
+# forward kernel provably early-exits at that chunk, so later chunks can be cut
+# BEFORE the attribute gather / kernels / backward — bit-identical image and
+# gradients (quantization is conservative, cut points are chunk-aligned on the
+# kernel's own DMA grid, and the compacted layout preserves each tile's head
+# offset so chunk contents are unchanged).
+SAT_Q_SCALE = 0.25   # q units of -log2(1 - alpha_min); 6 bits cover alpha<=0.99
+SAT_Q_BITS = 6
+# cum_q * SAT_Q_SCALE > -log2(T_EPS=1e-4) = 13.2877  =>  cum_q >= 54
+SAT_CUT = 54
+_LOG2E = 1.4426950408889634
+
+
+def _sat_q(op, max_q):
+    """6-bit quantized -log2(1 - alpha_min) (rounded DOWN => conservative).
+    2% slack absorbs f32 rounding vs the kernel's per-pixel alpha (the same
+    slack the tight cull uses); alpha below the kernel's 1/255 skip threshold
+    contributes 0 (those pixels may be zeroed by _alphas_from_power)."""
+    raw_min = op * jnp.exp(-max_q) * 0.98
+    alpha_min = jnp.where(raw_min >= 1.0 / 255.0,
+                          jnp.minimum(raw_min, 0.99), 0.0)
+    lb = -jnp.log1p(-alpha_min) * _LOG2E
+    q = jnp.floor(lb * (1.0 / SAT_Q_SCALE)).astype(jnp.int32)
+    return jnp.clip(q, 0, (1 << SAT_Q_BITS) - 1)
+
+
 def _expand_xla(
     mean2d, depth, x0, y0, rect_w, counts, cum, offsets, total,
     cull_conic, cull_opacity, *, n, tw, num_tiles, tile_size, pair_budget,
-    do_cull,
+    do_cull, sat_pack=False,
 ):
     """Fallback pair expansion in pure XLA (tiny / non-128-multiple budgets;
     also the oracle the fused Pallas kernel is parity-tested against).
@@ -214,11 +260,21 @@ def _expand_xla(
     else:
         valid_k = valid
 
+    gid_out = gid_c
+    if sat_pack:
+        # LOW-bit packing (gid << 6 | q): gid stays the leading tie-break of
+        # the 2-key pair sort (bit-identical order vs sat off; gid < 2^24 so
+        # the shifted value stays a positive int32); invalid pairs carry n<<6
+        assert do_cull, "sat_pack needs the cull attribute columns"
+        max_q = _rect_max_Q(ca, cb, cc, lx, lx + (ts - 1.0), ly, ly + (ts - 1.0))
+        gid_out = (gid_c << SAT_Q_BITS) | _sat_q(op, max_q)
     tile = jnp.where(valid_k, tile, num_tiles).astype(jnp.int32)
     pair_depth = jnp.where(
         valid_k, pc[:, 3].view(jnp.float32), jnp.inf
     ).astype(jnp.float32)
-    pair_gid = jnp.where(valid_k, gid_c, n).astype(jnp.int32)
+    pair_gid = jnp.where(
+        valid_k, gid_out, (n << SAT_Q_BITS) if sat_pack else n
+    ).astype(jnp.int32)
     key = pack_sort_key(tile, pair_depth, num_tiles)
     return key, pair_gid
 
@@ -226,7 +282,7 @@ def _expand_xla(
 def _expand_fused(
     mean2d, depth, x0, y0, rect_w, counts, total,
     cull_conic, cull_opacity, *, n, tw, num_tiles, tile_size, pair_budget,
-    do_cull, interpret,
+    do_cull, sat_pack=False, interpret,
 ):
     """Fused Pallas pair expansion (see render/expand_pallas.py): XLA builds
     the live-compacted per-Gaussian column table and the monotone pair->row
@@ -293,7 +349,7 @@ def _expand_fused(
     return expand_pairs(
         cols_t, gid_c, total, tw=tw, tile_size=tile_size, db=db,
         num_tiles=num_tiles, n_orig=n, do_cull=do_cull,
-        alpha_thresh=ALPHA_MIN * 0.98, interpret=interpret,
+        alpha_thresh=ALPHA_MIN * 0.98, sat_pack=sat_pack, interpret=interpret,
     )
 
 
@@ -310,6 +366,7 @@ def bin_gaussians(
     cull_conic: jnp.ndarray = None,
     cull_opacity: jnp.ndarray = None,
     kept_budget: int = None,
+    sat_budget: int = None,
     interpret: bool = None,
     fused: bool = None,
 ) -> Binning:
@@ -351,8 +408,20 @@ def bin_gaussians(
     # (pair_budget >= 8n) each extra column adds a pair-long scatter+cumsum
     # (~23 ms/col at 42M pairs on v5e), which only pays off when a reduced
     # kept_budget shrinks the post-sort stages.
+    do_sat = sat_budget is not None
+    if do_sat:
+        if cull_conic is None:
+            raise ValueError("sat_budget needs cull_conic/cull_opacity")
+        if n >= (1 << 24):
+            raise ValueError(
+                f"saturation bound cull packs 6 q-bits under the gid: "
+                f"n={n} must stay below 2^24"
+            )
+        assert sat_budget % chunk == 0, (sat_budget, chunk)
+        # kept * 63 must stay an exact int32 cumsum
+        assert kept_budget < (1 << 25), kept_budget
     do_cull = cull_conic is not None and (
-        pair_budget < 8 * n or kept_budget < pair_budget
+        pair_budget < 8 * n or kept_budget < pair_budget or do_sat
     )
 
     x0, y0, x1, y1 = tile_rects(mean2d, radius, tw, th, tile_size)
@@ -375,19 +444,19 @@ def bin_gaussians(
             mean2d, depth, x0, y0, rect_w, counts, total,
             cull_conic, cull_opacity, n=n, tw=tw, num_tiles=num_tiles,
             tile_size=tile_size, pair_budget=pair_budget, do_cull=do_cull,
-            interpret=interpret,
+            sat_pack=do_sat, interpret=interpret,
         )
     else:
         key, pair_gid = _expand_xla(
             mean2d, depth, x0, y0, rect_w, counts, cum, offsets, total,
             cull_conic, cull_opacity, n=n, tw=tw, num_tiles=num_tiles,
             tile_size=tile_size, pair_budget=pair_budget, do_cull=do_cull,
+            sat_pack=do_sat,
         )
 
-    # invalid AND culled pairs both carry gid == n (and the invalid key)
+    # invalid AND culled pairs both carry the null gid (and the invalid key)
     n_valid = jnp.minimum(total, pair_budget)
-    if do_cull:
-        valid_k = pair_gid != n
+    gid_null = (n << SAT_Q_BITS) if do_sat else n
     key_s, gid_s = jax.lax.sort((key, pair_gid), num_keys=2, is_stable=False)
 
     # per-tile segment boundaries on the sorted array (tiny: num_tiles-sized);
@@ -400,25 +469,11 @@ def bin_gaussians(
     starts = jnp.minimum(starts, kept_budget)
     ends = jnp.minimum(ends, kept_budget)
     tile_count = ends - starts
-    # backward output regions: one aligned span per tile covering the same
-    # chunk count the kernel sweeps (head + count, rounded up)
-    head = starts % chunk
-    nch = -(-(head + tile_count) // chunk)
-    out_sizes = nch * chunk
-    out_start = (jnp.cumsum(out_sizes) - out_sizes).astype(jnp.int32)
 
     if do_cull:
-        # gradient segment boundaries must count KEPT pairs only (culled rows
-        # never reach the backward d-array): cumulative kept slots per Gaussian
-        from gsplat_tpu.render.scan_pallas import prefix_sum_flags
-
-        Kc = prefix_sum_flags(valid_k.astype(jnp.int32), interpret=interpret)
-        cum_c = jnp.minimum(cum, pair_budget)
-        gauss_cum = jnp.where(cum_c == 0, 0, Kc[jnp.maximum(cum_c - 1, 0)])
-        kept_total = Kc[-1]
+        kept_total = jnp.sum((pair_gid != gid_null).astype(jnp.int32))
         n_culled = n_valid - kept_total
     else:
-        gauss_cum = cum
         kept_total = n_valid
         n_culled = jnp.zeros((), jnp.int32)
     # kept overflow: the kernels then composite a TRUNCATED pair set (tile
@@ -426,18 +481,69 @@ def bin_gaussians(
     # gradients via grad_ok, n_dropped reports the overflow, and the driver's
     # adaptive budget regrows (<= a few overflow steps per growth event).
     overflow = kept_total > kept_budget
-    gauss_cum = jnp.where(overflow, 0, jnp.minimum(gauss_cum, kept_budget))
     n_dropped = n_dropped + jnp.maximum(kept_total - kept_budget, 0)
+    n_sat = jnp.zeros((), jnp.int32)
+
+    if do_sat:
+        # SATURATION BOUND CULL: cut each tile at the first chunk boundary
+        # where the quantized transmittance bound proves the forward kernel
+        # early-exits (cum_q * SAT_Q_SCALE > -log2(T_EPS)), then compact the
+        # surviving per-tile prefixes into chunk-aligned regions PRESERVING
+        # each tile's head offset — the kernels' chunk grid sees identical
+        # valid content, so image, nproc, and gradients are bit-identical.
+        q_s = gid_s & ((1 << SAT_Q_BITS) - 1)
+        C = jnp.cumsum(q_s[:kept_budget])            # (kept,) int32 inclusive
+        Cprev = jnp.where(starts > 0, C[jnp.maximum(starts - 1, 0)], 0)
+        pos = jnp.searchsorted(
+            C, Cprev + SAT_CUT, side="left"
+        ).astype(jnp.int32)                          # first pair reaching the bound
+        astart = (starts // chunk) * chunk
+        head = starts - astart
+        seg_end = starts + tile_count
+        cut = jnp.minimum(
+            jnp.where(pos < seg_end,
+                      astart + ((pos - astart) // chunk + 1) * chunk, seg_end),
+            seg_end,
+        )
+        new_count = jnp.maximum(cut - starts, 0)
+        nch2 = -(-(head + new_count) // chunk)
+        region = nch2 * chunk
+        rend = jnp.cumsum(region)
+        rbase = (rend - region).astype(jnp.int32)
+        needed = rend[-1]
+        n_sat = needed
+        sat_overflow = needed > sat_budget
+        # clamp regions into the budget on overflow (overlapping regions are
+        # harmless: grad_ok zeroes the gradients and n_dropped reports it)
+        rbase = jnp.minimum(rbase, jnp.maximum(sat_budget - region, 0))
+        overflow = jnp.logical_or(overflow, sat_overflow)
+        n_dropped = n_dropped + jnp.where(
+            sat_overflow, needed - sat_budget, 0
+        )
+        # src map over the compacted slots: src(o) = o + off[t(o)] with
+        # off_t = astart_t - rbase_t, telescoped as scattered deltas + cumsum
+        # (repeated bases from empty tiles accumulate their deltas — the
+        # telescope stays exact)
+        offs = astart - rbase
+        delta = jnp.concatenate([offs[:1], offs[1:] - offs[:-1]])
+        src_off = jnp.cumsum(
+            jnp.zeros((sat_budget,), jnp.int32).at[rbase].add(delta, mode="drop")
+        )
+        src = jnp.clip(
+            jnp.arange(sat_budget, dtype=jnp.int32) + src_off, 0,
+            kept_budget - 1,
+        )
+        gid_s = jax.lax.shift_right_logical(gid_s[src], SAT_Q_BITS)
+        starts = (rbase + head).astype(jnp.int32)
+        tile_count = new_count.astype(jnp.int32)
 
     return Binning(
         grad_ok=jnp.logical_not(overflow),
         gid_s=gid_s,
-        gauss_offsets=offsets,
-        gauss_cum=gauss_cum,
         tile_start=starts,
         tile_count=tile_count,
-        out_start=out_start,
         n_pairs=jnp.minimum(total, pair_budget),
         n_dropped=n_dropped,
         n_culled=n_culled,
+        n_sat=n_sat,
     )

@@ -71,7 +71,7 @@ def _gather_cols(win_ref, slot, idx, cid, cols):
 def _expand_kernel(
     meta_ref, gidc_ref, cols_hbm, key_ref, gid_ref, win, sems, *,
     tw, tile_size, db, num_tiles, n_orig, n_pad, do_cull, alpha_thresh,
-    ncols,
+    sat_pack, ncols,
 ):
     b = pl.program_id(0)
     total = meta_ref[0]
@@ -129,6 +129,8 @@ def _expand_kernel(
         tile = ty * tw + tx
         valid = p < total
 
+        gid_v = cv[ncols - 2]
+        gid_null = n_orig
         if do_cull:
             from gsplat_tpu.render.binning import _rect_min_Q
 
@@ -141,13 +143,26 @@ def _expand_kernel(
             )
             keep = _f32(cv[9]) * jnp.exp(-min_q) >= alpha_thresh
             vk = valid & keep
+            if sat_pack:
+                # saturation-bound quantum in the gid low bits (see
+                # binning._sat_q; gid stays the leading sort tie-break)
+                from gsplat_tpu.render.binning import (
+                    SAT_Q_BITS, _rect_max_Q, _sat_q,
+                )
+
+                max_q = _rect_max_Q(
+                    _f32(cv[6]), _f32(cv[7]), _f32(cv[8]),
+                    lx, lx + (ts - 1.0), ly, ly + (ts - 1.0),
+                )
+                gid_v = (gid_v << SAT_Q_BITS) | _sat_q(_f32(cv[9]), max_q)
+                gid_null = n_orig << SAT_Q_BITS
         else:
             vk = valid
 
         key = jax.lax.shift_left(tile, db) | cv[2]
         sl = slice(MB_ROWS * m, MB_ROWS * (m + 1))
         key_ref[sl, :] = jnp.where(vk, key, key_invalid)
-        gid_ref[sl, :] = jnp.where(vk, cv[ncols - 2], n_orig)
+        gid_ref[sl, :] = jnp.where(vk, gid_v, gid_null)
 
 
 def expand_pairs(
@@ -162,6 +177,7 @@ def expand_pairs(
     n_orig: int,
     do_cull: bool,
     alpha_thresh: float,
+    sat_pack: bool = False,
     interpret: bool = False,
 ):
     """Run the fused expansion kernel. Returns (key, gid) each (S,) int32,
@@ -182,7 +198,7 @@ def expand_pairs(
     kern = functools.partial(
         _expand_kernel, tw=tw, tile_size=tile_size, db=db,
         num_tiles=num_tiles, n_orig=n_orig, n_pad=n_pad, do_cull=do_cull,
-        alpha_thresh=alpha_thresh, ncols=ncols,
+        alpha_thresh=alpha_thresh, sat_pack=sat_pack, ncols=ncols,
     )
     blk = (N_MICRO * MB_ROWS, 128)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -226,6 +226,8 @@ class RenderOutput(NamedTuple):
     n_culled: jnp.ndarray     # () int32 rect pairs removed by the tight tile cull
     n_contrib: jnp.ndarray    # () int32 pair slots composited before saturation
     #                           (chunk-granular; sizes contrib_budget adaptively)
+    n_sat: jnp.ndarray        # () int32 chunk-aligned slots the saturation bound
+    #                           cull kept (0 when off; sizes sat_budget adaptively)
 
 
 def render(
@@ -244,6 +246,7 @@ def render(
     tight_cull: bool = True,
     kept_budget: Optional[int] = None,
     contrib_budget: Optional[int] = None,
+    sat_budget: Optional[int] = None,
 ) -> RenderOutput:
     """Render `g` through `cam` over background `bg` (3,).
 
@@ -270,6 +273,7 @@ def render(
         tile_size=tile_size, chunk=chunk, pair_budget=pair_budget,
         interpret=interpret, region=region, tight_cull=tight_cull,
         kept_budget=kept_budget, contrib_budget=contrib_budget,
+        sat_budget=sat_budget,
     )
 
 
@@ -287,6 +291,7 @@ def render_projected(
     tight_cull: bool = True,
     kept_budget: Optional[int] = None,
     contrib_budget: Optional[int] = None,
+    sat_budget: Optional[int] = None,
 ) -> RenderOutput:
     """Bin + rasterize a pre-computed `Projection` (render.project.Projection).
 
@@ -305,6 +310,15 @@ def render_projected(
     Defaults to a capacity that can never overflow; when set lower and the
     compacted rows exceed it, that step's gradients are zeroed — the driver
     detects this as n_contrib > contrib_budget and regrows adaptively.
+
+    sat_budget enables the SATURATION BOUND CULL (requires tight_cull): each
+    tile's depth-ordered pairs are cut at the first chunk boundary where a
+    conservative per-tile transmittance bound (quantized minimum alpha packed
+    under the gid through the pair sort) proves the forward kernel early-exits
+    — the attribute gather, kernels, and backward then run on the compacted
+    survivors (sat_budget slots) instead of every kept pair. Bit-identical
+    image and gradients; overflow zeroes gradients and reports in n_dropped
+    like the other budgets. n_sat telemetry sizes the budget adaptively.
 
     Split out of `render()` so the sharded-Gaussian SPMD step can project each
     Gaussian shard on its owner device, exchange the (much smaller) projected
@@ -327,6 +341,10 @@ def render_projected(
     # align to the segred kernel's 512-pair DMA chunk (and the tile chunk)
     c_align = chunk if chunk % 128 != 0 else max(chunk, 512)
     contrib_budget = -(-contrib_budget // c_align) * c_align
+    if sat_budget is not None:
+        if not tight_cull:
+            raise ValueError("sat_budget requires tight_cull=True")
+        sat_budget = min(-(-sat_budget // chunk) * chunk, pair_budget)
 
     if y0 is not None:
         shift = jnp.stack(
@@ -345,6 +363,7 @@ def render_projected(
             jax.lax.stop_gradient(proj.opacity) if tight_cull else None
         ),
         kept_budget=kept_budget,
+        sat_budget=sat_budget,
         interpret=interpret,
     )
 
@@ -362,11 +381,15 @@ def render_projected(
             f"capacity {attrs.shape[0] - 1} exceeds the 2^24 exact-f32-id "
             "limit of the gradient reduction"
         )
-    # every post-sort stage sees only the kept prefix of the sorted pairs
-    static = (num_tiles, tw, tile_size, chunk, kept_budget, contrib_budget,
+    # every post-sort stage sees only the kept prefix of the sorted pairs —
+    # or, under the saturation bound cull, the compacted survivor regions
+    post_budget = kept_budget if sat_budget is None else sat_budget
+    gid_post = (binning.gid_s[:kept_budget] if sat_budget is None
+                else binning.gid_s)
+    static = (num_tiles, tw, tile_size, chunk, post_budget, contrib_budget,
               bool(interpret))
     tiles, nproc = _rasterize(
-        attrs, binning.gid_s[:kept_budget], binning.tile_start,
+        attrs, gid_post, binning.tile_start,
         binning.tile_count, binning.grad_ok, static,
     )
 
@@ -381,6 +404,7 @@ def render_projected(
         n_dropped=binning.n_dropped,
         n_culled=binning.n_culled,
         n_contrib=jnp.sum(nproc) * chunk,
+        n_sat=binning.n_sat,
     )
 
 

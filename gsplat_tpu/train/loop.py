@@ -104,6 +104,14 @@ def _kept_budget(mesh: MeshParams, budget: int) -> Optional[int]:
     return max(int(budget * mesh.kept_frac), mesh.chunk_size)
 
 
+def _sat_budget0(mesh: MeshParams, budget: int) -> Optional[int]:
+    """sat_frac > 0 enables the saturation bound cull; the compacted survivor
+    array starts at this size and regrows from n_sat telemetry."""
+    if mesh.sat_frac <= 0.0:
+        return None
+    return max(int(budget * mesh.sat_frac), mesh.chunk_size)
+
+
 def _contrib_budget0(mesh: MeshParams, budget: int) -> Optional[int]:
     """contrib_frac < 1 sizes the backward d-array + gradient reduction by the
     saturation-compacted pair count (see render.render_projected); None means
@@ -121,6 +129,7 @@ def make_train_step(
     height: int,
     pair_budget: Optional[int] = None,
     contrib_budget: Optional[int] = None,
+    sat_budget: Optional[int] = None,
 ) -> Callable:
     """Build the jitted train step for a fixed camera resolution. The Gaussians
     pytree's static fields (capacity via shapes, active_sh_degree) participate in
@@ -132,6 +141,8 @@ def make_train_step(
     kept = _kept_budget(mesh, budget)
     if contrib_budget is None:
         contrib_budget = _contrib_budget0(mesh, budget)
+    if sat_budget is None:
+        sat_budget = _sat_budget0(mesh, budget)
 
     @jax.jit
     def train_step(
@@ -154,6 +165,7 @@ def make_train_step(
                 pair_budget=budget,
                 kept_budget=kept,
                 contrib_budget=contrib_budget,
+                sat_budget=sat_budget,
                 mean2d_offset=mean2d_offset,
             )
             loss = photometric_loss(out.image, cam.image, opt.lambda_dssim)
@@ -170,7 +182,8 @@ def make_train_step(
         # EMA on device: the driver must not force a host sync every iteration
         new_ema = jnp.where(step <= 1, loss, 0.4 * loss + 0.6 * ema)
         return (g_new, new_opt_state, loss, new_ema,
-                out.n_pairs, out.n_dropped, out.n_culled, out.n_contrib)
+                out.n_pairs, out.n_dropped, out.n_culled, out.n_contrib,
+                out.n_sat)
 
     return train_step
 
@@ -321,24 +334,29 @@ def train(
     contrib_budget = _contrib_budget0(mesh, pair_budget)
     if "contrib_budget" in resume_extras and contrib_budget is not None:
         contrib_budget = max(contrib_budget, int(resume_extras["contrib_budget"]))
+    sat_budget = _sat_budget0(mesh, pair_budget)
+    if "sat_budget" in resume_extras and sat_budget is not None:
+        sat_budget = max(sat_budget, int(resume_extras["sat_budget"]))
 
-    def build_step(budget, contrib):
+    def build_step(budget, contrib, sat):
         if sharded:
             return make_sharded_spmd_train_step(
                 dev_mesh, opt, mesh, g.spatial_lr_scale, w, h,
-                pair_budget=budget, contrib_budget=contrib,
+                pair_budget=budget, contrib_budget=contrib, sat_budget=sat,
             )
         if spmd:
             return make_spmd_train_step(
                 dev_mesh, opt, mesh, g.spatial_lr_scale, w, h,
-                pair_budget=budget, contrib_budget=contrib,
+                pair_budget=budget, contrib_budget=contrib, sat_budget=sat,
             )
         return make_train_step(opt, mesh, g.spatial_lr_scale, w, h,
-                               pair_budget=budget, contrib_budget=contrib)
+                               pair_budget=budget, contrib_budget=contrib,
+                               sat_budget=sat)
 
-    train_step = build_step(pair_budget, contrib_budget)
+    train_step = build_step(pair_budget, contrib_budget, sat_budget)
     low_usage_streak = 0
     low_contrib_streak = 0
+    low_sat_streak = 0
 
     metrics = MetricsLogger(model.model_path if is_main else None)
 
@@ -388,6 +406,8 @@ def train(
             "pair_budget": np.asarray(pair_budget, np.int64),
             **({"contrib_budget": np.asarray(contrib_budget, np.int64)}
                if contrib_budget is not None else {}),
+            **({"sat_budget": np.asarray(sat_budget, np.int64)}
+               if sat_budget is not None else {}),
             "cam_order": np.asarray(cam_order, np.int64),
             "low_usage_streak": np.asarray(low_usage_streak, np.int64),
             "py_random": np.frombuffer(
@@ -477,7 +497,7 @@ def train(
             else:
                 step_input = cam
             (g, opt_state, loss, ema_loss, n_pairs, n_dropped, n_culled,
-             n_contrib) = train_step(
+             n_contrib, n_sat) = train_step(
                 g, opt_state, step_input, step_bg,
                 jnp.asarray(iteration, jnp.int32), ema_loss,
             )
@@ -488,6 +508,19 @@ def train(
             # dropped-pair steps is harmless ---
             if iteration % 10 != 0:
                 pass
+            elif sat_budget is not None and int(n_sat) > sat_budget:
+                # sat overflow zeroed this step's gradients (and truncated the
+                # image); regrow first — its excess also lands in n_dropped,
+                # so a premature pair-budget doubling must not fire on it
+                sat_budget = max(sat_budget * 2,
+                                 -(-int(n_sat) // mesh.chunk_size)
+                                 * mesh.chunk_size)
+                printer.print(
+                    f"[iter {iteration}] sat budget -> {sat_budget} "
+                    f"({int(n_sat)} survivor slots; recompiling)"
+                )
+                train_step = build_step(pair_budget, contrib_budget, sat_budget)
+                low_sat_streak = 0
             elif int(n_dropped) > 0:
                 pair_budget *= 2
                 if contrib_budget is not None:
@@ -496,7 +529,7 @@ def train(
                     f"[iter {iteration}] pair budget {pair_budget // 2} -> {pair_budget} "
                     f"({int(n_dropped)} pairs dropped; recompiling)"
                 )
-                train_step = build_step(pair_budget, contrib_budget)
+                train_step = build_step(pair_budget, contrib_budget, sat_budget)
                 low_usage_streak = 0
             elif contrib_budget is not None and int(n_contrib) > contrib_budget:
                 # contrib overflow zeroed this step's gradients (the image is
@@ -507,7 +540,7 @@ def train(
                     f"[iter {iteration}] contrib budget -> {contrib_budget} "
                     f"({int(n_contrib)} compacted rows; recompiling)"
                 )
-                train_step = build_step(pair_budget, contrib_budget)
+                train_step = build_step(pair_budget, contrib_budget, sat_budget)
                 low_contrib_streak = 0
             elif int(n_pairs) * 4 < pair_budget and pair_budget > mesh.pair_budget:
                 low_usage_streak += 1
@@ -516,7 +549,7 @@ def train(
                     printer.print(
                         f"[iter {iteration}] pair budget shrink -> {pair_budget}"
                     )
-                    train_step = build_step(pair_budget, contrib_budget)
+                    train_step = build_step(pair_budget, contrib_budget, sat_budget)
                     low_usage_streak = 0
             else:
                 low_usage_streak = 0
@@ -530,10 +563,26 @@ def train(
                             f"[iter {iteration}] contrib budget shrink -> "
                             f"{contrib_budget}"
                         )
-                        train_step = build_step(pair_budget, contrib_budget)
+                        train_step = build_step(pair_budget, contrib_budget,
+                                                sat_budget)
                         low_contrib_streak = 0
                 else:
                     low_contrib_streak = 0
+                if (sat_budget is not None
+                        and int(n_sat) * 4 < sat_budget
+                        and sat_budget > _sat_budget0(mesh, pair_budget)):
+                    low_sat_streak += 1
+                    if low_sat_streak >= 20:
+                        sat_budget //= 2
+                        printer.print(
+                            f"[iter {iteration}] sat budget shrink -> "
+                            f"{sat_budget}"
+                        )
+                        train_step = build_step(pair_budget, contrib_budget,
+                                                sat_budget)
+                        low_sat_streak = 0
+                else:
+                    low_sat_streak = 0
 
             # --- logging / eval / save / checkpoint FIRST (upstream order:
             # training_report runs before densify/reset within an iteration, so
@@ -560,6 +609,7 @@ def train(
                     it_per_s=round(rate, 2), n_dropped_pairs=int(n_dropped),
                     n_culled_pairs=int(n_culled),
                     n_contrib_pairs=int(n_contrib),
+                    n_sat_pairs=int(n_sat),
                 )
 
             if iteration in other.test_iterations:

@@ -175,7 +175,7 @@ def main():
         if it % 1000 == 0:
             g = g.oneup_sh_degree()
         cam = cams[(it * 7) % len(cams)]
-        g, opt_state, loss, ema, n_pairs, n_dropped, _, _ = step_fn(
+        g, opt_state, loss, ema, n_pairs, n_dropped, _, _, _ = step_fn(
             g, opt_state, cam, bg, jnp.asarray(it, jnp.int32), ema
         )
         if it < opt.densify_until_iter and it > opt.densify_from_iter \

@@ -88,7 +88,7 @@ def main():
         mesh, OptimizationParams(), mp, 1.0, W, H, interpret=True
     )
     t0 = time.time()
-    g2, st2, loss, ema, n_pairs, n_dropped, n_culled, n_contrib = step_fn(
+    g2, st2, loss, ema, n_pairs, n_dropped, n_culled, n_contrib, _ = step_fn(
         g_sh, st_sh, cam_batch, bg, jnp.asarray(1, jnp.int32),
         jnp.zeros((), jnp.float32),
     )

@@ -63,20 +63,20 @@ def test_sorted_gid_depth_order():
     assert (gid[int(b.n_pairs):] == n).all()
 
 
-def test_out_regions_disjoint_and_sized():
+def test_segments_cover_live_pairs():
+    # (the backward's compacted output regions are derived from the forward
+    # kernel's nproc at runtime — see render._rasterize_bwd — so binning only
+    # guarantees the per-tile segments partition the live prefix)
     b = simple_case()
     starts = np.asarray(b.tile_start)
     counts = np.asarray(b.tile_count)
-    out = np.asarray(b.out_start)
-    head = starts % CH
-    nch = -(-(head + counts) // CH)
-    # aligned, disjoint, covering exactly the chunk count each tile sweeps
-    assert (out % CH == 0).all()
-    end = out + nch * CH
-    for t in range(1, len(out)):
-        assert out[t] == end[t - 1]
-    # per-Gaussian cumsum table matches the segment totals
-    assert int(np.asarray(b.gauss_cum)[-1]) == int(b.n_pairs)
+    order = np.argsort(starts, kind="stable")
+    s, c = starts[order], counts[order]
+    assert int(c.sum()) == int(b.n_pairs)
+    # non-overlapping, contiguous over the live prefix
+    ends = s + c
+    assert (s[1:] >= ends[:-1] - 0).all()
+    assert int(ends.max(initial=0)) <= int(b.n_pairs)
 
 
 def test_overflow_budget():
@@ -309,3 +309,108 @@ def test_contrib_budget_compaction():
     g_starved = jax.grad(loss)(g.params(), starved_cb)
     for leaf in jax.tree.leaves(g_starved):
         assert float(np.max(np.abs(np.asarray(leaf)))) == 0.0
+
+
+def test_saturation_bound_cull():
+    """sat_budget: per-tile pairs behind a PROVABLE transmittance bound are cut
+    before the gather/kernels. Image and gradients bit-match the uncculled
+    render (the cut is chunk-aligned on the kernel's own early-exit grid and
+    the compacted layout preserves head offsets); telemetry sizes the budget;
+    starved budgets zero gradients exactly and report in n_dropped."""
+    import jax
+
+    from tests.fixtures import look_at_rig
+    from gsplat_tpu.core.camera import make_camera
+    from gsplat_tpu.core.gaussians import create_from_pcd
+    from gsplat_tpu.render.render import render
+
+    rng = np.random.default_rng(13)
+    n = 80
+    g = create_from_pcd(rng.normal(size=(n, 3)) * 0.35, rng.random((n, 3)),
+                        capacity=128)
+    # big near-opaque splats stacked in depth: tiles saturate after a few
+    sc = np.full((n, 3), -0.2, np.float32)
+    op = np.full((n, 1), 4.0, np.float32)   # sigmoid(4) = 0.982
+    g = g.replace(scaling=g.scaling.at[:n].set(jnp.asarray(sc)),
+                  opacity=g.opacity.at[:n].set(jnp.asarray(op)))
+    (R, T), = look_at_rig(1)
+    cam = make_camera(R, T, fovx=1.0, fovy=0.8, width=96, height=64,
+                      image=rng.random((64, 96, 3)).astype(np.float32))
+    bg = jnp.zeros(3, jnp.float32)
+
+    # kept_budget < pair_budget turns the tight cull on in the base render
+    # too (it is gated off in the plain B2 regime) — sat_budget always runs
+    # with the cull, so the bit-exactness comparison needs a cull-active base
+    kw = dict(tile_size=16, chunk=8, pair_budget=1 << 12,
+              kept_budget=(1 << 12) - 8)
+    base = render(cam, g, bg, **kw)
+    assert int(base.n_dropped) == 0
+    # probe pass reports the aligned survivor slots; the cull must bite here
+    probe = render(cam, g, bg, **kw, sat_budget=1 << 12)
+    n_sat = int(probe.n_sat)
+    n_kept = int(base.n_pairs) - int(base.n_culled)
+    assert 0 < n_sat < n_kept, (n_sat, n_kept)
+    np.testing.assert_array_equal(np.asarray(probe.image),
+                                  np.asarray(base.image))
+
+    def loss(params, sb):
+        o = render(cam, g.with_params(params), bg, **kw, sat_budget=sb)
+        return jnp.sum(o.image ** 2)
+
+    def loss_base(params):
+        o = render(cam, g.with_params(params), bg, **kw)
+        return jnp.sum(o.image ** 2)
+
+    fitted = -(-n_sat // 8) * 8
+    out = render(cam, g, bg, **kw, sat_budget=fitted)
+    assert int(out.n_dropped) == 0
+    np.testing.assert_array_equal(np.asarray(out.image), np.asarray(base.image))
+
+    g_base = jax.grad(loss_base)(g.params())
+    g_sat = jax.grad(loss)(g.params(), fitted)
+    for a, b in zip(jax.tree.leaves(g_base), jax.tree.leaves(g_sat)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # starved sat budget: grads exactly zero, overflow accounted
+    starved = max(8, fitted // 4)
+    assert starved < n_sat
+    sv = render(cam, g, bg, **kw, sat_budget=starved)
+    assert int(sv.n_dropped) > 0
+    g_sv = jax.grad(loss)(g.params(), starved)
+    for leaf in jax.tree.leaves(g_sv):
+        assert float(np.max(np.abs(np.asarray(leaf)))) == 0.0
+
+
+def test_saturation_cull_noop_on_sparse():
+    """Small translucent splats never reach the bound: sat_budget = kept pairs
+    reproduces the base render exactly with zero truncation."""
+    import jax
+
+    from tests.fixtures import look_at_rig
+    from gsplat_tpu.core.camera import make_camera
+    from gsplat_tpu.core.gaussians import create_from_pcd
+    from gsplat_tpu.render.render import render
+
+    rng = np.random.default_rng(5)
+    n = 50
+    g = create_from_pcd(rng.normal(size=(n, 3)) * 0.6, rng.random((n, 3)),
+                        capacity=64)
+    (R, T), = look_at_rig(1)
+    cam = make_camera(R, T, fovx=0.9, fovy=0.7, width=64, height=48)
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+
+    kw = dict(tile_size=16, chunk=8, pair_budget=1 << 12,
+              kept_budget=(1 << 12) - 8)
+    base = render(cam, g, bg, **kw)
+    out = render(cam, g, bg, **kw, sat_budget=1 << 12)
+    np.testing.assert_array_equal(np.asarray(out.image), np.asarray(base.image))
+
+    def loss(params, sb):
+        o = render(cam, g.with_params(params), bg, **kw, sat_budget=sb)
+        return jnp.sum(o.image ** 2)
+
+    g_base = jax.grad(lambda p: jnp.sum(
+        render(cam, g.with_params(p), bg, **kw).image ** 2))(g.params())
+    g_sat = jax.grad(loss)(g.params(), 1 << 12)
+    for a, b in zip(jax.tree.leaves(g_base), jax.tree.leaves(g_sat)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -174,3 +174,25 @@ def test_contrib_frac_cli(trained_model, tmp_path):
     assert steps, "no per-step contrib telemetry logged"
     assert all(l["n_contrib_pairs"] >= 0 for l in steps)
     assert (out / "point_cloud" / "iteration_100" / "point_cloud.ply").exists()
+
+
+def test_sat_frac_cli(trained_model, tmp_path):
+    """--sat_frac > 0 enables the saturation bound cull in the trainer;
+    training completes (regrowing the survivor budget adaptively) with
+    per-step n_sat telemetry in metrics.jsonl."""
+    scene_root, _ = trained_model
+    out = tmp_path / "model_sat"
+
+    from gsplat_tpu.cli import main
+
+    main([
+        "--source_path", str(scene_root), "--model_path", str(out),
+        "--iterations", "100", "--capacity", "64",
+        "--pair_budget", "4096", "--chunk_size", "32",
+        "--sat_frac", "0.25", "--quiet",
+    ])
+    lines = [json.loads(l) for l in open(out / "metrics.jsonl")]
+    steps = [l for l in lines if "n_sat_pairs" in l]
+    assert steps, "no per-step sat telemetry logged"
+    assert all(l["n_sat_pairs"] >= 0 for l in steps)
+    assert (out / "point_cloud" / "iteration_100" / "point_cloud.ply").exists()

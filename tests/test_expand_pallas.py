@@ -33,7 +33,7 @@ def make_scene(n, seed, width=256, height=192, tile_size=16, dead_frac=0.3,
     return mean2d, radius, depth, conic, opacity
 
 
-def both_paths(n, seed, pair_budget, do_cull, **scene_kw):
+def both_paths(n, seed, pair_budget, do_cull, sat_pack=False, **scene_kw):
     width, height, tile_size = 256, 192, 16
     mean2d, radius, depth, conic, opacity = make_scene(n, seed, **scene_kw)
     tw, th = tile_grid(width, height, tile_size)
@@ -50,7 +50,7 @@ def both_paths(n, seed, pair_budget, do_cull, **scene_kw):
     args = (jnp.asarray(mean2d), jnp.asarray(depth), x0, y0, rect_w, counts)
     cull = (jnp.asarray(conic), jnp.asarray(opacity)) if do_cull else (None, None)
     kw = dict(n=n, tw=tw, num_tiles=num_tiles, tile_size=tile_size,
-              pair_budget=pair_budget, do_cull=do_cull)
+              pair_budget=pair_budget, do_cull=do_cull, sat_pack=sat_pack)
     key_x, gid_x = jax.jit(
         lambda: _expand_xla(*args[:6], cum, offsets, total, *cull, **kw)
     )()
@@ -68,8 +68,24 @@ def both_paths(n, seed, pair_budget, do_cull, **scene_kw):
 ])
 def test_fused_matches_xla(n, budget, seed, do_cull):
     key_x, gid_x, key_f, gid_f = both_paths(n, seed, budget, do_cull)
-    np.testing.assert_array_equal(gid_f, gid_x)
-    np.testing.assert_array_equal(key_f, key_x)
+    np.testing.assert_array_equal(key_x, key_f)
+    np.testing.assert_array_equal(gid_x, gid_f)
+
+
+@pytest.mark.parametrize("n,budget,seed", [
+    (300, 4096, 0),
+    (100, 8192, 1),
+])
+def test_fused_matches_xla_sat_pack(n, budget, seed):
+    """sat_pack: the 6 quantized saturation-bound bits under the gid must be
+    bit-identical between the kernel and the XLA oracle (both evaluate the
+    same f32 corner-max quadratic + log1p expression)."""
+    key_x, gid_x, key_f, gid_f = both_paths(n, seed, budget, True,
+                                            sat_pack=True)
+    np.testing.assert_array_equal(key_x, key_f)
+    np.testing.assert_array_equal(gid_x, gid_f)
+    # the packed q bits are actually populated somewhere
+    assert (np.asarray(gid_x) & 63).max() > 0
 
 
 def test_fused_dead_cluster():
@@ -105,13 +121,13 @@ def test_bin_gaussians_fused_vs_fallback():
     try:
         def forced_xla(mean2d_, depth_, x0, y0, rect_w, counts, total,
                        cc, co, *, n, tw, num_tiles, tile_size, pair_budget,
-                       do_cull, interpret):
+                       do_cull, sat_pack=False, interpret):
             cum = jnp.cumsum(counts)
             offsets = cum - counts
             return binning_mod._expand_xla(
                 mean2d_, depth_, x0, y0, rect_w, counts, cum, offsets, total,
                 cc, co, n=n, tw=tw, num_tiles=num_tiles, tile_size=tile_size,
-                pair_budget=pair_budget, do_cull=do_cull)
+                pair_budget=pair_budget, do_cull=do_cull, sat_pack=sat_pack)
 
         binning_mod._expand_fused = forced_xla
         b_xla = bin_gaussians(jnp.asarray(mean2d), jnp.asarray(radius),

@@ -90,7 +90,7 @@ def test_spmd_step_matches_single_device(mesh_shape):
 
     step_fn = make_spmd_train_step(mesh, opt, MP, 1.0, W, H, interpret=True)
     cam_batch = stack_cameras(cams)
-    g_s, st_s, loss_s, ema_s, n_pairs_s, nd, _, _ = step_fn(
+    g_s, st_s, loss_s, ema_s, n_pairs_s, nd, _, _, _ = step_fn(
         g, opt_state, cam_batch, bg, jnp.asarray(1, jnp.int32),
         jnp.zeros((), jnp.float32),
     )
@@ -183,11 +183,11 @@ def test_global_camera_batch_feeds_spmd_step():
     g_rep = replicate_gaussians(mesh, g)
     batch = global_camera_batch(mesh, cams)
     zema = jnp.zeros((), jnp.float32)
-    g1, _, loss1, _, _, _, _, _ = step_fn(
+    g1, _, loss1, _, _, _, _, _, _ = step_fn(
         g_rep, opt_state, batch, bg, jnp.asarray(1, jnp.int32), zema)
 
     stacked = stack_cameras(cams)
-    g2, _, loss2, _, _, _, _, _ = step_fn(
+    g2, _, loss2, _, _, _, _, _, _ = step_fn(
         g, opt_state, stacked, bg, jnp.asarray(1, jnp.int32), zema)
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g1.xyz), np.asarray(g2.xyz), atol=1e-7)
@@ -215,11 +215,11 @@ def test_sharded_gaussian_step_matches_replicated(mesh_shape):
     step = jnp.asarray(1, jnp.int32)
 
     rep_fn = make_spmd_train_step(mesh, opt, MP, 1.0, W, H, interpret=True)
-    g_r, st_r, loss_r, _, _, nd_r, _, _ = rep_fn(g, opt_state, batch, bg, step, zema)
+    g_r, st_r, loss_r, _, _, nd_r, _, _, _ = rep_fn(g, opt_state, batch, bg, step, zema)
 
     g_sh, st_sh = shard_gaussians(mesh, g, opt_state)
     sh_fn = make_sharded_spmd_train_step(mesh, opt, MP, 1.0, W, H, interpret=True)
-    g_s, st_s, loss_s, _, n_pairs, nd_s, _, _ = sh_fn(g_sh, st_sh, batch, bg, step, zema)
+    g_s, st_s, loss_s, _, n_pairs, nd_s, _, _, _ = sh_fn(g_sh, st_sh, batch, bg, step, zema)
 
     np.testing.assert_allclose(float(loss_s), float(loss_r), rtol=1e-5)
     assert int(nd_s) == int(nd_r) == 0
@@ -252,11 +252,11 @@ def test_spmd_kept_frac_matches_full():
             jnp.zeros((), jnp.float32))
 
     full_fn = make_spmd_train_step(mesh, opt, MP, 1.0, W, H, interpret=True)
-    g_f, _, loss_f, _, _, nd_f, _, _ = full_fn(*args)
+    g_f, _, loss_f, _, _, nd_f, _, _, _ = full_fn(*args)
 
     mp_kept = MP.__class__(**{**MP.__dict__, "kept_frac": 0.9})
     kept_fn = make_spmd_train_step(mesh, opt, mp_kept, 1.0, W, H, interpret=True)
-    g_k, _, loss_k, _, _, nd_k, n_culled, _ = kept_fn(*args)
+    g_k, _, loss_k, _, _, nd_k, n_culled, _, _ = kept_fn(*args)
 
     assert int(nd_f) == int(nd_k) == 0
     np.testing.assert_allclose(float(loss_k), float(loss_f), rtol=1e-5)

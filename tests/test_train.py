@@ -60,7 +60,7 @@ def test_training_reduces_loss():
     ema = jnp.zeros((), jnp.float32)
     for it in range(1, 61):
         cam = cams[it % len(cams)]
-        g, opt_state, loss, ema, _, _, _, _ = step(
+        g, opt_state, loss, ema, _, _, _, _, _ = step(
             g, opt_state, cam, bg, jnp.asarray(it, jnp.int32), ema
         )
         losses.append(float(loss))
