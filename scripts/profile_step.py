@@ -65,6 +65,8 @@ def main():
                     help="post-sort stage size (0 = pair_budget, no split)")
     ap.add_argument("--contrib_budget", type=int, default=0,
                     help="backward d-array size (0 = never-overflows default)")
+    ap.add_argument("--sat_budget", type=int, default=0,
+                    help="saturation bound cull survivor budget (0 = off)")
     ap.add_argument("--compiler_option", action="append", default=[],
                     help="k=v XLA compiler option (repeatable); probed names "
                          "in scripts/probe_compiler_options.py")
@@ -84,7 +86,8 @@ def main():
             out = render(cam, g.with_params(params), bg, tile_size=ns.tile_size,
                          chunk=ns.chunk, pair_budget=ns.pair_budget,
                          kept_budget=ns.kept_budget or None,
-                         contrib_budget=ns.contrib_budget or None)
+                         contrib_budget=ns.contrib_budget or None,
+                         sat_budget=ns.sat_budget or None)
             return photometric_loss(out.image, cam.image, 0.2), out.n_pairs
         (l, npair), grads = jax.value_and_grad(loss_fn, has_aux=True)(g.params())
         return l, npair, grads["xyz"]
