@@ -109,16 +109,18 @@ class MeshParams:
     kept_frac: float = 1.0       # post-sort stage sizing as a fraction of
                                  # pair_budget (<1 exploits the tight tile
                                  # cull; overflow grows the budget adaptively)
-    sat_frac: float = 0.0        # > 0 enables the saturation bound cull: pairs
-                                 # behind a PROVABLE per-tile transmittance
-                                 # bound are cut before the attribute gather /
-                                 # kernels / backward (bit-identical image and
-                                 # gradients); sizes the compacted survivor
-                                 # array as a fraction of pair_budget, regrown
-                                 # adaptively from n_sat telemetry. The win is
-                                 # density-proportional (dense trained scenes:
-                                 # ~10x fewer post-sort pairs); pure overhead
-                                 # on sparse scenes, hence default off.
+    sat_frac: float = -1.0       # saturation bound cull: pairs behind a
+                                 # PROVABLE per-tile transmittance bound are
+                                 # cut before the attribute gather / kernels /
+                                 # backward (bit-identical image and
+                                 # gradients). -1 (default) = AUTO: the driver
+                                 # probes n_sat telemetry every 500 iters and
+                                 # enables the cull once it would cut >= 2x
+                                 # (density-proportional win; pure overhead on
+                                 # sparse scenes). 0 = off; > 0 = on, sizing
+                                 # the compacted survivor array as a fraction
+                                 # of pair_budget (regrown adaptively).
+    sat_probe_interval: int = 500  # iterations between auto-mode probes
     contrib_frac: float = 1.0    # backward d-array / gradient-reduction sizing
                                  # as a fraction of pair_budget (<1 exploits the
                                  # saturation early-exit: only pairs composited

@@ -106,10 +106,22 @@ def _kept_budget(mesh: MeshParams, budget: int) -> Optional[int]:
 
 def _sat_budget0(mesh: MeshParams, budget: int) -> Optional[int]:
     """sat_frac > 0 enables the saturation bound cull; the compacted survivor
-    array starts at this size and regrows from n_sat telemetry."""
+    array starts at this size and regrows from n_sat telemetry. sat_frac < 0
+    (AUTO, the default) also returns None: the driver starts with the cull off
+    and enables it from probe telemetry (see _sat_probe)."""
     if mesh.sat_frac <= 0.0:
         return None
     return max(int(budget * mesh.sat_frac), mesh.chunk_size)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_size", "chunk", "pair_budget"))
+def _sat_probe(g, cam, bg, *, tile_size, chunk, pair_budget):
+    """One render with a can't-overflow sat budget, for its telemetry only:
+    n_sat = chunk-aligned slots the saturation bound cull keeps (the bench's
+    auto-fit does the same probe, bench.py sat_probe)."""
+    out = render(cam, g, bg, tile_size=tile_size, chunk=chunk,
+                 pair_budget=pair_budget, sat_budget=pair_budget)
+    return out.n_sat, out.n_pairs, out.n_culled, out.n_dropped
 
 
 def _contrib_budget0(mesh: MeshParams, budget: int) -> Optional[int]:
@@ -334,9 +346,13 @@ def train(
     contrib_budget = _contrib_budget0(mesh, pair_budget)
     if "contrib_budget" in resume_extras and contrib_budget is not None:
         contrib_budget = max(contrib_budget, int(resume_extras["contrib_budget"]))
+    sat_auto = mesh.sat_frac < 0.0
     sat_budget = _sat_budget0(mesh, pair_budget)
-    if "sat_budget" in resume_extras and sat_budget is not None:
-        sat_budget = max(sat_budget, int(resume_extras["sat_budget"]))
+    if "sat_budget" in resume_extras:
+        if sat_budget is not None:
+            sat_budget = max(sat_budget, int(resume_extras["sat_budget"]))
+        elif sat_auto:  # auto mode had enabled the cull before the checkpoint
+            sat_budget = int(resume_extras["sat_budget"])
 
     def build_step(budget, contrib, sat):
         if sharded:
@@ -570,7 +586,8 @@ def train(
                     low_contrib_streak = 0
                 if (sat_budget is not None
                         and int(n_sat) * 4 < sat_budget
-                        and sat_budget > _sat_budget0(mesh, pair_budget)):
+                        and sat_budget
+                        > (_sat_budget0(mesh, pair_budget) or mesh.chunk_size)):
                     low_sat_streak += 1
                     if low_sat_streak >= 20:
                         sat_budget //= 2
@@ -582,6 +599,34 @@ def train(
                                                 sat_budget)
                         low_sat_streak = 0
                 else:
+                    low_sat_streak = 0
+
+            # --- AUTO saturation cull (default, sat_frac=-1): probe n_sat
+            # telemetry every 500 iters while off; enable once the cull would
+            # provably cut the post-sort pair stages >= 2x. The cull is
+            # bit-identical by construction, so enabling it mid-run changes
+            # nothing but step time; its budget then regrows/shrinks through
+            # the same adaptive machinery as the manual flag. Guards: the sat
+            # key packing needs gid < 2^24 and an exact int32 quanta cumsum
+            # (kept < 2^25). ---
+            if (sat_auto and sat_budget is None
+                    and iteration % mesh.sat_probe_interval == 0
+                    and pair_budget < (1 << 25) and g.capacity < (1 << 24)):
+                ns_p, np_p, nc_p, nd_p = _sat_probe(
+                    to_host_view(g), cam, bg, tile_size=mesh.tile_size,
+                    chunk=mesh.chunk_size, pair_budget=pair_budget,
+                )
+                kept_live = int(np_p) - int(nc_p)
+                if int(nd_p) == 0 and 2 * int(ns_p) < kept_live:
+                    sat_budget = (-(-int(ns_p) // mesh.chunk_size)
+                                  * mesh.chunk_size + mesh.chunk_size)
+                    printer.print(
+                        f"[iter {iteration}] saturation cull AUTO-ENABLED: "
+                        f"{int(ns_p)} survivor slots of {kept_live} kept pairs "
+                        f"(sat budget {sat_budget}; recompiling)"
+                    )
+                    train_step = build_step(pair_budget, contrib_budget,
+                                            sat_budget)
                     low_sat_streak = 0
 
             # --- logging / eval / save / checkpoint FIRST (upstream order:

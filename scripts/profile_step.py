@@ -15,7 +15,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
+import os
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "GSPLAT_CACHE_DIR",
+        str(Path(__file__).resolve().parents[1] / ".jax_cache"),
+    ),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp

@@ -161,3 +161,58 @@ def test_cli_parses_reference_flags():
     # defaults preserved (reference params.h:50-91)
     assert opt.opacity_reset_interval == 3000
     assert opt.densify_until_iter == 15000
+
+
+def test_sat_auto_probe_and_enable(tmp_path, monkeypatch):
+    """AUTO saturation cull (sat_frac=-1, the default): the driver probes
+    n_sat telemetry at sat_probe_interval and enables the cull when it would
+    cut >= 2x. Probe path (real telemetry) must not disturb training; the
+    enable path is exercised by faking a saturating probe and checking the
+    full machinery downstream: enable -> real render overflows the fitted
+    budget -> adaptive regrow -> telemetry reports n_sat."""
+    import json
+
+    import gsplat_tpu.train.loop as loop_mod
+    from gsplat_tpu.config import ModelParams, OtherParams, PipelineParams
+    from gsplat_tpu.io.synthetic import make_colmap_scene
+    from gsplat_tpu.train.loop import train
+
+    scene_root = tmp_path / "scene"
+    make_colmap_scene(scene_root, n_cams=4, width=48, height=32, n_points=30)
+
+    def run(out, iters):
+        model = ModelParams(source_path=str(scene_root), model_path=str(out))
+        opt = OptimizationParams(
+            iterations=iters, densify_from_iter=10**9,
+            densify_until_iter=0, opacity_reset_interval=10**9,
+        )
+        other = OtherParams(test_iterations=[], save_iterations=[], quiet=True)
+        mesh = MeshParams(tile_size=16, chunk_size=32, pair_budget=1 << 12,
+                          capacity=64, sat_probe_interval=4)
+        g, _ = train(model, opt, PipelineParams(), other, mesh,
+                     progress_every=2)
+        return out
+
+    # 1) real probe on the sparse random scene: init opacity 0.1 quantizes to
+    # q=0 (no provable saturation), so the cull must stay OFF and training
+    # must be undisturbed
+    out1 = run(tmp_path / "auto_off", 12)
+    steps = [json.loads(l) for l in open(out1 / "metrics.jsonl")
+             if "n_sat_pairs" in json.loads(l or "{}")]
+    assert steps and all(s["n_sat_pairs"] == 0 for s in steps)
+
+    # 2) fake a strongly-saturating probe: the driver must enable the cull,
+    # then the REAL n_sat (whole kept set, scene has no saturation) overflows
+    # the fitted budget and the adaptive regrow recovers
+    real_probe = loop_mod._sat_probe
+
+    def fake_probe(g, cam, bg, **kw):
+        import jax.numpy as jnp
+        ns, npair, ncull, ndrop = real_probe(g, cam, bg, **kw)
+        return jnp.asarray(32, jnp.int32), npair, ncull, ndrop
+
+    monkeypatch.setattr(loop_mod, "_sat_probe", fake_probe)
+    out2 = run(tmp_path / "auto_on", 30)
+    steps = [json.loads(l) for l in open(out2 / "metrics.jsonl")
+             if "n_sat_pairs" in json.loads(l or "{}")]
+    assert steps and steps[-1]["n_sat_pairs"] > 0, steps
