@@ -216,6 +216,14 @@ def run_config(n, width, height, *, tile_size, chunk, pair_budget, iters,
         # the backward d-array/gradient reduction by the measured saturation-
         # compacted row count (the adaptive-budget equivalent of what a
         # training run converges to). +1 chunk/contrib-align of slack each.
+        # The pair budget itself is fitted to the measured expansion total
+        # (round 4): the r3 dense config sorted 41.9M SLOTS to hold 32.1M live
+        # pairs — the pair sort and expansion fusions price off slots, so the
+        # 30% headroom was pure cost. Skipped if the plain pass overflowed
+        # (n_pairs == budget means the true total is unknown).
+        pair_fit = pair_budget
+        if int(n_pairs) < pair_budget:
+            pair_fit = -(-int(n_pairs) // chunk) * chunk + chunk
         kept = -(-int(int(n_pairs) - int(n_culled) + chunk) // chunk) * chunk
         contrib = -(-int(n_contrib) // 512) * 512 + 512
 
@@ -224,7 +232,7 @@ def run_config(n, width, height, *, tile_size, chunk, pair_budget, iters,
             def loss_fn(params):
                 out = render(
                     cam, g.with_params(params), bg,
-                    tile_size=tile_size, chunk=chunk, pair_budget=pair_budget,
+                    tile_size=tile_size, chunk=chunk, pair_budget=pair_fit,
                     tight_cull=tight_cull, kept_budget=kept,
                     contrib_budget=contrib,
                 )
@@ -255,9 +263,9 @@ def run_config(n, width, height, *, tile_size, chunk, pair_budget, iters,
         def sat_probe(g):
             out = render(
                 cam, g.with_params(g.params()), bg,
-                tile_size=tile_size, chunk=chunk, pair_budget=pair_budget,
+                tile_size=tile_size, chunk=chunk, pair_budget=pair_fit,
                 tight_cull=True, kept_budget=kept, contrib_budget=contrib,
-                sat_budget=pair_budget,
+                sat_budget=pair_fit,
             )
             return out.n_sat, out.n_dropped
 
@@ -273,7 +281,7 @@ def run_config(n, width, height, *, tile_size, chunk, pair_budget, iters,
                     out = render(
                         cam, g.with_params(params), bg,
                         tile_size=tile_size, chunk=chunk,
-                        pair_budget=pair_budget, tight_cull=True,
+                        pair_budget=pair_fit, tight_cull=True,
                         kept_budget=kept, contrib_budget=contrib,
                         sat_budget=sat,
                     )

@@ -195,6 +195,17 @@ _DG_COMP = _os.environ.get("GSPLAT_DG_COMP") == "1"
 _CUMSUM_SUB = int(_os.environ.get("GSPLAT_CUMSUM_SUB", "32"))
 if _CUMSUM_SUB < 1:
     raise ValueError(f"GSPLAT_CUMSUM_SUB must be >= 1, got {_CUMSUM_SUB}")
+# Round-4 kernel experiments (A/B on hardware; defaults = round-3 behavior):
+# GSPLAT_POWER=vpu evaluates the per-(pair,pixel) quadratic with broadcast
+# VPU FMAs in exact f32 (vs the 3-pass split-bf16 MXU bilinear form) — the
+# k=8 contraction underutilizes the 128-deep MXU, and the direct form needs
+# ~8 cheap vector ops/cell. GSPLAT_CUMSUM=roll computes the in-chunk prefix
+# with log2(chunk) sublane-roll shifted adds on the VPU instead of the
+# triangular matmuls.
+_POWER_MODE = _os.environ.get("GSPLAT_POWER", "mxu")
+_CUMSUM_MODE = _os.environ.get("GSPLAT_CUMSUM", "tri")
+assert _POWER_MODE in ("mxu", "vpu"), _POWER_MODE
+assert _CUMSUM_MODE in ("tri", "roll"), _CUMSUM_MODE
 
 
 def _matmul_precision():
@@ -282,6 +293,30 @@ def _mm(a, b):
     return _dg(a, b, 1, 0, comp_ok=True)
 
 
+def _cols6(a):
+    """(16, chunk) attr block -> (chunk, 8) columns [mx,my,ca,cb,cc,op,·,·]
+    via ONE one-hot matmul transpose (cols 6,7 land on rgb rows and are
+    ignored). Used by the VPU power mode, replacing _op_column + the U rows."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (ATTR_DIM, 8), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (ATTR_DIM, 8), 1)
+    tgt = c + (c == 5).astype(jnp.int32) * 3  # 0,1,2,3,4 -> same; 5 -> row 8
+    sel = (r == tgt).astype(jnp.float32)
+    return _dgx(a, sel, 0, 0, exact="b")
+
+
+def _power_vpu(cols, V, ox, oy):
+    """power(pair,pixel) = -(0.5*ca*dx^2 + cb*dx*dy + 0.5*cc*dy^2) with
+    dx = px - (mx - ox), evaluated directly with broadcast VPU FMAs in exact
+    f32 (no bf16 splits). cols from _cols6; V rows 3/4 carry px/py."""
+    dx = V[3:4, :] - (cols[:, 0:1] - ox)   # (chunk, npix)
+    dy = V[4:5, :] - (cols[:, 1:2] - oy)
+    return -(
+        (0.5 * cols[:, 2:3]) * (dx * dx)
+        + cols[:, 3:4] * (dx * dy)
+        + (0.5 * cols[:, 4:5]) * (dy * dy)
+    )
+
+
 def _tri(c: int, dtype) -> jnp.ndarray:
     row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
@@ -303,8 +338,20 @@ def _cumsum0(x: jnp.ndarray) -> jnp.ndarray:
     regression — short-k matmuls evidently pipeline well enough that the MAC
     model wins for triangular blocks (unlike bf16 synthesis passes, which
     re-stream full-k operands). sub=32 stays the default; env-tunable for
-    re-measurement on other TPU generations."""
+    re-measurement on other TPU generations.
+
+    GSPLAT_CUMSUM=roll: log2(c) shifted adds on the VPU instead (exact f32,
+    ~14 cheap vector ops/cell) — the round-4 A/B lever against the MXU
+    triangular form."""
     c = x.shape[0]
+    if _CUMSUM_MODE == "roll":
+        k = 1
+        while k < c:
+            x = x + jnp.concatenate(
+                [jnp.zeros((k, x.shape[1]), x.dtype), x[:-k, :]], axis=0
+            )
+            k *= 2
+        return x
     sub = _CUMSUM_SUB
     if c <= sub or c % sub != 0:
         return _dgx(_tri(c, x.dtype), x, 1, 0, exact="a")
@@ -364,9 +411,14 @@ def _fwd_kernel(
 
         dma(slot, j).wait()
         a = buf[slot]                     # (16, chunk)
-        U, _, _, _, _, _, _ = _chunk_U(a, ox, oy)
-        power = _dgx(U, V, 0, 0, exact="b", exact_ok=tile_size <= 32)
-        op_v = _op_column(a) * _valid_column(j, head, count, chunk)
+        if _POWER_MODE == "vpu":
+            cols = _cols6(a)
+            power = _power_vpu(cols, V, ox, oy)
+            op_v = cols[:, 5:6] * _valid_column(j, head, count, chunk)
+        else:
+            U, _, _, _, _, _, _ = _chunk_U(a, ox, oy)
+            power = _dgx(U, V, 0, 0, exact="b", exact_ok=tile_size <= 32)
+            op_v = _op_column(a) * _valid_column(j, head, count, chunk)
         alpha, _, _ = _alphas_from_power(power, op_v)
 
         lg = jnp.log1p(-alpha)
@@ -471,8 +523,13 @@ def _bwd_kernel(
         )  # (1, chunk) f32 gid values
 
         U, mxl, myl, ca, cb, cc, _ = _chunk_U(a, ox, oy)
-        op_col = _op_column(a) * _valid_column(j, head, count, chunk)
-        power = _dgx(U, V, 0, 0, exact="b", exact_ok=tile_size <= 32)
+        if _POWER_MODE == "vpu":
+            cols = _cols6(a)
+            power = _power_vpu(cols, V, ox, oy)
+            op_col = cols[:, 5:6] * _valid_column(j, head, count, chunk)
+        else:
+            op_col = _op_column(a) * _valid_column(j, head, count, chunk)
+            power = _dgx(U, V, 0, 0, exact="b", exact_ok=tile_size <= 32)
         alpha, chain, G = _alphas_from_power(power, op_col)
         rgb = a[5:8, :]
 

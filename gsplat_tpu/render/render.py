@@ -127,74 +127,37 @@ def _rasterize_bwd(static, res, g):
     )
     key_s = sorted_ops[0]
     n_gauss = n_rows - 1
-    from gsplat_tpu.render.segred_pallas import GB as _SR_GB
-    from gsplat_tpu.render.segred_pallas import PC as _SR_PC
-    from gsplat_tpu.render.segred_pallas import segment_sum_sorted
-
-    import os as _os
-
-    # OPT-IN (GSPLAT_SEGRED=1): the fused segment-reduction kernel replaces
-    # ~20 ms of fallback stages (method='sort' searchsorted 5.8 + extract
-    # fusions ~17 + 16-col cumsum + boundary gather 6.5) with a ~16 ms kernel
-    # — but inserting it still flips XLA memory-space assignment into staging
-    # ~15 f32[N] projection/VJP buffers through VMEM (sparse step 171 ->
-    # 341 ms device-side, round-3 profile; unchanged by the accepted
-    # xla_tpu_async_copy_bandwidth_scaling_factor=0.05 compiler option —
-    # see scripts/probe_compiler_options.py for the validated-flag evidence).
-    # Net win is now small and the cascade risk is not; default stays off.
-    use_segred = (
-        not interpret and n_gauss % _SR_GB == 0 and c_budget % _SR_PC == 0
-        and _os.environ.get("GSPLAT_SEGRED", "0") == "1"
+    # Per-Gaussian sums off the sorted rows: 16-wide cumsum table + boundary
+    # positions from a searchsorted over the sorted keys, then an adjacent
+    # difference. (The 16-wide layout: the boundary row gather out of a
+    # 9-wide table runs ~5x slower per row than out of the 64-byte-row (N,16)
+    # layout.) A fused Pallas segment-reduction kernel (segred_pallas,
+    # rounds 2-4) beat this block ~2x in isolation but flipped XLA
+    # memory-space assignment into staging ~15 f32[N] projection/VJP buffers
+    # through VMEM (+170 ms/step); three compiler-option attacks failed
+    # (BASELINE.md round-4 notes) and it was deleted. A row scatter-add
+    # replacement loses 4x (scripts/micro_gradreduce.py).
+    d_sorted = jnp.stack(
+        sorted_ops[1:]
+        + (ATTR_DIM - N_DCOLS) * (jnp.zeros_like(key_s),),
+        axis=1,
+    )                                                       # (c_budget, 16)
+    S = jnp.concatenate(
+        [jnp.zeros((1, ATTR_DIM), d_sorted.dtype),
+         jnp.cumsum(d_sorted, axis=0)],
+        axis=0,
     )
-    if use_segred:
-        # fused Pallas segment reduction: per-Gaussian sums straight off the
-        # gid-sorted rows — no budget-long 16-col cumsum, no boundary gather
-        # (that gather alone was ~28 ms at 1M rows on v5e: XLA prices gather
-        # rows at latency, not bandwidth). Block windows: position of each
-        # 128-Gaussian block boundary in the sorted keys (nb+1 tiny queries).
-        # Rows 9..15 of the stacked table are inert (col sums discarded);
-        # row 9 carries the key row to keep the concat a single contiguous
-        # copy.
-        nb = n_gauss // _SR_GB
-        bounds = (jnp.arange(nb + 1, dtype=jnp.int32) * _SR_GB).astype(
-            jnp.float32
-        )
-        pos = jnp.searchsorted(key_s, bounds, side="left").astype(jnp.int32)
-        d16 = jnp.stack(
-            sorted_ops[1:] + (key_s,)
-            + (ATTR_DIM - N_DCOLS - 1) * (jnp.zeros_like(key_s),),
-            axis=0,
-        )                                                       # (16, c_budget)
-        d_live = segment_sum_sorted(
-            d16, lo_b=pos[:-1], hi_b=pos[1:], n=n_gauss, interpret=interpret
-        )[:, :N_DCOLS]                                          # (N, 9)
-    else:
-        # XLA fallback (interpret mode / unaligned capacities): 16-wide cumsum
-        # table + per-Gaussian boundary positions from a searchsorted over the
-        # sorted keys, then an adjacent difference. (The 16-wide layout: the
-        # boundary row gather out of a 9-wide table runs ~5x slower per row
-        # than out of the 64-byte-row (N,16) layout.)
-        d_sorted = jnp.stack(
-            sorted_ops[1:]
-            + (ATTR_DIM - N_DCOLS) * (jnp.zeros_like(key_s),),
-            axis=1,
-        )                                                       # (c_budget, 16)
-        S = jnp.concatenate(
-            [jnp.zeros((1, ATTR_DIM), d_sorted.dtype),
-             jnp.cumsum(d_sorted, axis=0)],
-            axis=0,
-        )
-        # method='sort': the default 'scan' binary search runs log2(P) rounds
-        # of N-element gathers (~157 ms at N=1M on v5e — gathers price at
-        # latency); one extra 2-operand sort over keys+queries costs ~7 ms
-        ends = jnp.searchsorted(
-            key_s, jnp.arange(1, n_gauss + 1, dtype=jnp.int32)
-            .astype(jnp.float32), side="left", method="sort",
-        )
-        T_b = S[ends][:, :N_DCOLS]                              # (N, 9)
-        d_live = T_b - jnp.concatenate(
-            [jnp.zeros((1, N_DCOLS), T_b.dtype), T_b[:-1]], axis=0
-        )
+    # method='sort': the default 'scan' binary search runs log2(P) rounds
+    # of N-element gathers (~157 ms at N=1M on v5e — gathers price at
+    # latency); one extra 2-operand sort over keys+queries costs ~7 ms
+    ends = jnp.searchsorted(
+        key_s, jnp.arange(1, n_gauss + 1, dtype=jnp.int32)
+        .astype(jnp.float32), side="left", method="sort",
+    )
+    T_b = S[ends][:, :N_DCOLS]                              # (N, 9)
+    d_live = T_b - jnp.concatenate(
+        [jnp.zeros((1, N_DCOLS), T_b.dtype), T_b[:-1]], axis=0
+    )
     # zero the whole step's gradient on either overflow (kept-budget overflow
     # flagged by binning, or contrib-budget overflow detected above); the
     # driver's adaptive budgets regrow and the step is repeated semantically
@@ -338,9 +301,7 @@ def render_projected(
     if contrib_budget is None:
         # worst case: every tile's aligned chunk range fully composited
         contrib_budget = out_budget(kept_budget, num_tiles, chunk)
-    # align to the segred kernel's 512-pair DMA chunk (and the tile chunk)
-    c_align = chunk if chunk % 128 != 0 else max(chunk, 512)
-    contrib_budget = -(-contrib_budget // c_align) * c_align
+    contrib_budget = -(-contrib_budget // chunk) * chunk
     if sat_budget is not None:
         if not tight_cull:
             raise ValueError("sat_budget requires tight_cull=True")
