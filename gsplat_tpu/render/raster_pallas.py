@@ -195,15 +195,19 @@ _DG_COMP = _os.environ.get("GSPLAT_DG_COMP") == "1"
 _CUMSUM_SUB = int(_os.environ.get("GSPLAT_CUMSUM_SUB", "32"))
 if _CUMSUM_SUB < 1:
     raise ValueError(f"GSPLAT_CUMSUM_SUB must be >= 1, got {_CUMSUM_SUB}")
-# Round-4 kernel experiments (A/B on hardware; defaults = round-3 behavior):
+# Round-4 kernel levers (defaults = measured winners on v5e):
 # GSPLAT_POWER=vpu evaluates the per-(pair,pixel) quadratic with broadcast
 # VPU FMAs in exact f32 (vs the 3-pass split-bf16 MXU bilinear form) — the
 # k=8 contraction underutilizes the 128-deep MXU, and the direct form needs
 # ~8 cheap vector ops/cell. GSPLAT_CUMSUM=roll computes the in-chunk prefix
-# with log2(chunk) sublane-roll shifted adds on the VPU instead of the
-# triangular matmuls.
-_POWER_MODE = _os.environ.get("GSPLAT_POWER", "mxu")
-_CUMSUM_MODE = _os.environ.get("GSPLAT_CUMSUM", "tri")
+# with log2(chunk) shifted adds on the VPU instead of the triangular
+# matmuls. A/B on the sparse bench profile (same session, device-side):
+# base 171.2 ms (bwd kernel 52.9, fwd 27.6) -> roll 163.8 (47.6/25.5) ->
+# roll+vpu 161.8 (45.3/25.8). Both are exact-f32 forms (parity vs the MXU
+# path <= 2e-6 rel on image and all grads); mxu/tri remain selectable for
+# re-measurement on other TPU generations.
+_POWER_MODE = _os.environ.get("GSPLAT_POWER", "vpu")
+_CUMSUM_MODE = _os.environ.get("GSPLAT_CUMSUM", "roll")
 assert _POWER_MODE in ("mxu", "vpu"), _POWER_MODE
 assert _CUMSUM_MODE in ("tri", "roll"), _CUMSUM_MODE
 
