@@ -457,6 +457,12 @@ def bin_gaussians(
     # invalid AND culled pairs both carry the null gid (and the invalid key)
     n_valid = jnp.minimum(total, pair_budget)
     gid_null = (n << SAT_Q_BITS) if do_sat else n
+    # num_keys=2 deliberately: demoting gid to payload saves ~6 ms at the
+    # dense bench's 32M rows (scripts/micro_sort.py: 76.8 vs 70.5 ms) but
+    # makes equal-(tile, quantized-depth) ties resolve arbitrarily — measured
+    # to break the tight-cull bit-identity guarantee (cull on/off renders
+    # then differ at tie pixels, tests/test_binning.py). The gid tie-break
+    # keeps every A/B in the pipeline bit-exact; round-4 decision: keep it.
     key_s, gid_s = jax.lax.sort((key, pair_gid), num_keys=2, is_stable=False)
 
     # per-tile segment boundaries on the sorted array (tiny: num_tiles-sized);
@@ -520,20 +526,35 @@ def bin_gaussians(
         n_dropped = n_dropped + jnp.where(
             sat_overflow, needed - sat_budget, 0
         )
-        # src map over the compacted slots: src(o) = o + off[t(o)] with
-        # off_t = astart_t - rbase_t, telescoped as scattered deltas + cumsum
-        # (repeated bases from empty tiles accumulate their deltas — the
-        # telescope stays exact)
-        offs = astart - rbase
-        delta = jnp.concatenate([offs[:1], offs[1:] - offs[:-1]])
-        src_off = jnp.cumsum(
-            jnp.zeros((sat_budget,), jnp.int32).at[rbase].add(delta, mode="drop")
-        )
-        src = jnp.clip(
-            jnp.arange(sat_budget, dtype=jnp.int32) + src_off, 0,
-            kept_budget - 1,
-        )
-        gid_s = jax.lax.shift_right_logical(gid_s[src], SAT_Q_BITS)
+        if fused and chunk % 128 == 0:
+            # bulk per-tile DMA run copy (compact_pallas): the XLA src-map
+            # gather below prices at ~23 ns/row (42 ms at the dense bench's
+            # 1.8M survivors — 1-col gathers pay full random-access latency),
+            # while the move is really ~3k contiguous chunk-aligned runs
+            from gsplat_tpu.render.compact_pallas import compact_runs
+
+            cpr = chunk // 128  # 128-pair rows per chunk
+            gid_sat = compact_runs(
+                gid_s[:kept_budget], astart // 128, rbase // 128, nch2 * cpr,
+                out_size=sat_budget, fill=gid_null, interpret=interpret,
+            )
+        else:
+            # XLA fallback / oracle: src map over the compacted slots,
+            # src(o) = o + off[t(o)] with off_t = astart_t - rbase_t,
+            # telescoped as scattered deltas + cumsum (repeated bases from
+            # empty tiles accumulate their deltas — the telescope stays exact)
+            offs = astart - rbase
+            delta = jnp.concatenate([offs[:1], offs[1:] - offs[:-1]])
+            src_off = jnp.cumsum(
+                jnp.zeros((sat_budget,), jnp.int32)
+                .at[rbase].add(delta, mode="drop")
+            )
+            src = jnp.clip(
+                jnp.arange(sat_budget, dtype=jnp.int32) + src_off, 0,
+                kept_budget - 1,
+            )
+            gid_sat = gid_s[src]
+        gid_s = jax.lax.shift_right_logical(gid_sat, SAT_Q_BITS)
         starts = (rbase + head).astype(jnp.int32)
         tile_count = new_count.astype(jnp.int32)
 

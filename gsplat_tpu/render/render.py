@@ -147,13 +147,27 @@ def _rasterize_bwd(static, res, g):
          jnp.cumsum(d_sorted, axis=0)],
         axis=0,
     )
-    # method='sort': the default 'scan' binary search runs log2(P) rounds
-    # of N-element gathers (~157 ms at N=1M on v5e — gathers price at
-    # latency); one extra 2-operand sort over keys+queries costs ~7 ms
-    ends = jnp.searchsorted(
-        key_s, jnp.arange(1, n_gauss + 1, dtype=jnp.int32)
-        .astype(jnp.float32), side="left", method="sort",
-    )
+    # boundary positions: the windowed-count Pallas kernel replaces
+    # searchsorted's query-into-key sort (prep fusion 12.3 + 2-op sort 5.8 ms
+    # at the sparse bench) with a coarse 1k-query bracket + one DMA sweep of
+    # the key row (bounds_pallas). GSPLAT_ENDS=xla keeps the fallback, which
+    # also covers interpret mode and unaligned capacities.
+    import os as _os
+
+    from gsplat_tpu.render.bounds_pallas import GB as _ENDS_GB
+    from gsplat_tpu.render.bounds_pallas import segment_ends
+
+    if (not interpret and n_gauss % _ENDS_GB == 0
+            and _os.environ.get("GSPLAT_ENDS", "pallas") != "xla"):
+        ends = segment_ends(key_s, n_gauss, interpret=interpret)
+    else:
+        # method='sort': the default 'scan' binary search runs log2(P) rounds
+        # of N-element gathers (~157 ms at N=1M on v5e — gathers price at
+        # latency); one extra 2-operand sort over keys+queries costs ~7 ms
+        ends = jnp.searchsorted(
+            key_s, jnp.arange(1, n_gauss + 1, dtype=jnp.int32)
+            .astype(jnp.float32), side="left", method="sort",
+        )
     T_b = S[ends][:, :N_DCOLS]                              # (N, 9)
     d_live = T_b - jnp.concatenate(
         [jnp.zeros((1, N_DCOLS), T_b.dtype), T_b[:-1]], axis=0
