@@ -30,7 +30,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-GB = 1024          # gids per grid block (sublanes of the compare)
+import os as _os
+
+GB = int(_os.environ.get("GSPLAT_ENDS_GB", "1024"))  # gids per grid block
 PC = 1024          # keys per DMA chunk (PC // 128 rows of 128 lanes)
 _PAD_KEY = float(1 << 30)  # never matches any gid's value window
 

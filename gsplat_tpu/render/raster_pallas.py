@@ -526,12 +526,15 @@ def _bwd_kernel(
             _valid_row(j, head, count, chunk), a[9:10, :], KEY_INVALID
         )  # (1, chunk) f32 gid values
 
-        U, mxl, myl, ca, cb, cc, _ = _chunk_U(a, ox, oy)
+        mxl = a[0:1, :] - ox
+        myl = a[1:2, :] - oy
+        ca, cb, cc = a[2:3, :], a[3:4, :], a[4:5, :]
         if _POWER_MODE == "vpu":
             cols = _cols6(a)
             power = _power_vpu(cols, V, ox, oy)
             op_col = cols[:, 5:6] * _valid_column(j, head, count, chunk)
         else:
+            U = _chunk_U(a, ox, oy)[0]
             op_col = _op_column(a) * _valid_column(j, head, count, chunk)
             power = _dgx(U, V, 0, 0, exact="b", exact_ok=tile_size <= 32)
         alpha, chain, G = _alphas_from_power(power, op_col)
