@@ -13,6 +13,7 @@ this beats a C=3 depthwise convolution on TPU.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -34,23 +35,65 @@ def _gaussian_window(size: int, sigma: float) -> jnp.ndarray:
     return g / jnp.sum(g)
 
 
+import os as _os
+
+_BLUR_MODE = _os.environ.get("GSPLAT_BLUR", "matmul")
+
+
+def _band_matrix(n: int, window: jnp.ndarray) -> jnp.ndarray:
+    """(n, n) banded matrix B with B[i, j] = window[j - i + half] for
+    |j - i| <= half, else 0 — so B @ x is the 1-D 'SAME'-zero-padded blur
+    along x's leading axis. Built from static inputs only: XLA constant-folds
+    it into the executable."""
+    size = window.shape[0]
+    half = size // 2
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    d = j - i + half
+    return jnp.where(
+        (d >= 0) & (d < size), window[jnp.clip(d, 0, size - 1)], 0.0
+    )
+
+
 def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     """Separable depthwise Gaussian blur; img (H,W,C) -> (H,W,C), SAME padding.
 
-    Written as shifted weighted adds (static slices of a zero-padded array)
-    rather than lax.conv: a C=3-minor depthwise conv lowers to a TPU
-    convolution with 3/128 lane utilization (~1.7 ms per pass at 1080p, ~14 ms
-    of a 280 ms train step across SSIM fwd+bwd); the slice form fuses into one
-    elementwise VPU loop and its transpose (pad+add) fuses the same way.
-    Semantics are identical to conv with zero 'SAME' padding (upstream
-    pytorch-ssim)."""
-    size = window.shape[0]
-    half = size // 2
+    Default ('matmul'): two banded-matrix contractions on the MXU. The
+    shifted-slice form below materializes each of its 22 zero-padded slices
+    as a ~24 MB copy at 1080p (round-4 profile: ~0.6-1.9 ms apiece across
+    SSIM fwd+bwd), while the banded matmuls are ~19 GMAC per blur and their
+    VJP is again a matmul — no slice chains in the backward. A C=3-minor
+    depthwise lax.conv was measured earlier and rejected (3/128 lane
+    utilization, ~1.7 ms per pass). Semantics are identical to conv with
+    zero 'SAME' padding (upstream pytorch-ssim); HIGHEST precision keeps the
+    f32 input-error class (the Gaussian weights are not bf16-exact, so the
+    one-sided split trick does not apply).
+
+    GSPLAT_BLUR=slices restores the shifted-add form (frozen at import)."""
+    if _BLUR_MODE == "slices":
+        size = window.shape[0]
+        half = size // 2
+        h, w = img.shape[0], img.shape[1]
+        x = jnp.pad(img, ((half, half), (0, 0), (0, 0)))
+        img = sum(window[k] * x[k:k + h] for k in range(size))
+        x = jnp.pad(img, ((0, 0), (half, half), (0, 0)))
+        return sum(window[k] * x[:, k:k + w] for k in range(size))
     h, w = img.shape[0], img.shape[1]
-    x = jnp.pad(img, ((half, half), (0, 0), (0, 0)))
-    img = sum(window[k] * x[k:k + h] for k in range(size))
-    x = jnp.pad(img, ((0, 0), (half, half), (0, 0)))
-    return sum(window[k] * x[:, k:k + w] for k in range(size))
+    bh = _band_matrix(h, window)
+    bw = _band_matrix(w, window)
+    # rows: contract H; (H,H) @ (H, W*C) in the image's native layout
+    out = jax.lax.dot_general(
+        bh, img.reshape(h, -1), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(img.shape)
+    # cols: contract W; batch nothing, output (H, C, W) -> transpose back
+    out = jax.lax.dot_general(
+        out, bw, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (H, C, W)
+    return jnp.transpose(out, (0, 2, 1))
 
 
 def ssim(
