@@ -106,9 +106,12 @@ class MeshParams:
     chunk_size: int = 128        # pairs per DMA block (multiple of 128 on TPU)
     capacity: int = 1 << 17      # initial Gaussian capacity (padded, static)
     pair_budget: int = 1 << 20   # max (Gaussian, tile) pairs per render (static)
-    kept_frac: float = 1.0       # post-sort stage sizing as a fraction of
-                                 # pair_budget (<1 exploits the tight tile
-                                 # cull; overflow grows the budget adaptively)
+    kept_frac: float = -1.0      # post-sort stage sizing. -1 (default) =
+                                 # AUTO: the driver fits the kept-pair budget
+                                 # from n_pairs/n_culled telemetry (exploiting
+                                 # the tight tile cull; overflow regrows).
+                                 # 1 = no split; fractions in (0,1) size it as
+                                 # a fraction of pair_budget.
     sat_frac: float = -1.0       # saturation bound cull: pairs behind a
                                  # PROVABLE per-tile transmittance bound are
                                  # cut before the attribute gather / kernels /
@@ -121,12 +124,13 @@ class MeshParams:
                                  # the compacted survivor array as a fraction
                                  # of pair_budget (regrown adaptively).
     sat_probe_interval: int = 500  # iterations between auto-mode probes
-    contrib_frac: float = 1.0    # backward d-array / gradient-reduction sizing
-                                 # as a fraction of pair_budget (<1 exploits the
-                                 # saturation early-exit: only pairs composited
+    contrib_frac: float = -1.0   # backward d-array / gradient-reduction
+                                 # sizing. -1 (default) = AUTO: fitted from
+                                 # n_contrib telemetry (only pairs composited
                                  # before per-tile saturation carry gradient;
-                                 # overflow steps zero grads and the budget
-                                 # regrows adaptively from n_contrib telemetry)
+                                 # overflow steps zero grads and regrow).
+                                 # 1 = worst-case; fractions in (0,1) size it
+                                 # as a fraction of pair_budget.
     shard_gaussians: bool = False  # ZeRO-style layout: Gaussian params, Adam
                                  # moments and densify accumulators sharded over
                                  # the data axis (large-N memory scaling); the

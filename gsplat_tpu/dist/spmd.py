@@ -91,6 +91,7 @@ def make_spmd_train_step(
     pair_budget: Optional[int] = None,
     contrib_budget: Optional[int] = None,
     sat_budget: Optional[int] = None,
+    kept_budget: Optional[int] = None,
 ) -> Callable:
     """Build the jitted multi-device train step.
 
@@ -116,7 +117,8 @@ def make_spmd_train_step(
     from gsplat_tpu.train.loop import (
         _contrib_budget0, _kept_budget, _sat_budget0,
     )
-    kept = _kept_budget(mp, budget)
+    kept = kept_budget if kept_budget is not None \
+        else _kept_budget(mp, budget)
     contrib = contrib_budget if contrib_budget is not None \
         else _contrib_budget0(mp, budget)
     sat = sat_budget if sat_budget is not None else _sat_budget0(mp, budget)
@@ -221,6 +223,7 @@ def make_sharded_spmd_train_step(
     pair_budget: Optional[int] = None,
     contrib_budget: Optional[int] = None,
     sat_budget: Optional[int] = None,
+    kept_budget: Optional[int] = None,
 ) -> Callable:
     """Sharded-Gaussian SPMD step for large N (SURVEY.md §2.2 'Gaussians ...
     gathered per-tile at large N'; VERDICT r1 item 9).
@@ -249,7 +252,8 @@ def make_sharded_spmd_train_step(
     from gsplat_tpu.train.loop import (
         _contrib_budget0, _kept_budget, _sat_budget0,
     )
-    kept = _kept_budget(mp, budget)
+    kept = kept_budget if kept_budget is not None \
+        else _kept_budget(mp, budget)
     contrib = contrib_budget if contrib_budget is not None \
         else _contrib_budget0(mp, budget)
     sat = sat_budget if sat_budget is not None else _sat_budget0(mp, budget)

@@ -97,9 +97,12 @@ def prepare_output_and_logger(model: ModelParams, all_params) -> Path:
 
 
 def _kept_budget(mesh: MeshParams, budget: int) -> Optional[int]:
-    """kept_frac < 1 sizes the post-sort render stages by the tile-cull
-    survivor count (see render.render_projected); None means no split."""
-    if mesh.kept_frac >= 1.0:
+    """kept_frac in (0, 1) sizes the post-sort render stages by the tile-cull
+    survivor count (see render.render_projected); None means no split.
+    kept_frac < 0 (AUTO, the default) also starts at None: the driver then
+    fits the budget from n_pairs/n_culled telemetry (see the adaptive-budget
+    block in train())."""
+    if mesh.kept_frac >= 1.0 or mesh.kept_frac < 0:
         return None
     return max(int(budget * mesh.kept_frac), mesh.chunk_size)
 
@@ -125,10 +128,11 @@ def _sat_probe(g, cam, bg, *, tile_size, chunk, pair_budget):
 
 
 def _contrib_budget0(mesh: MeshParams, budget: int) -> Optional[int]:
-    """contrib_frac < 1 sizes the backward d-array + gradient reduction by the
-    saturation-compacted pair count (see render.render_projected); None means
-    the never-overflows worst case."""
-    if mesh.contrib_frac >= 1.0:
+    """contrib_frac in (0, 1) sizes the backward d-array + gradient reduction
+    by the saturation-compacted pair count (see render.render_projected);
+    None means the never-overflows worst case. contrib_frac < 0 (AUTO, the
+    default) also starts at None and fits from n_contrib telemetry."""
+    if mesh.contrib_frac >= 1.0 or mesh.contrib_frac < 0:
         return None
     return max(int(budget * mesh.contrib_frac), 512)
 
@@ -142,15 +146,16 @@ def make_train_step(
     pair_budget: Optional[int] = None,
     contrib_budget: Optional[int] = None,
     sat_budget: Optional[int] = None,
+    kept_budget: Optional[int] = None,
 ) -> Callable:
     """Build the jitted train step for a fixed camera resolution. The Gaussians
     pytree's static fields (capacity via shapes, active_sh_degree) participate in
     the jit cache key automatically; pair_budget overrides mesh.pair_budget (the
-    driver resizes it adaptively), contrib_budget likewise for the backward
-    compaction budget."""
+    driver resizes it adaptively), contrib_budget/kept_budget likewise for the
+    backward compaction and post-sort budgets."""
     lr_fns = make_lr_fns(opt, spatial_lr_scale)
     budget = pair_budget if pair_budget is not None else mesh.pair_budget
-    kept = _kept_budget(mesh, budget)
+    kept = kept_budget if kept_budget is not None else _kept_budget(mesh, budget)
     if contrib_budget is None:
         contrib_budget = _contrib_budget0(mesh, budget)
     if sat_budget is None:
@@ -343,9 +348,25 @@ def train(
             return g_, opt_state_
         return shard_gaussians(dev_mesh, g_, opt_state_)
 
+    # AUTO budgets (kept_frac / contrib_frac / sat_frac = -1, the defaults):
+    # start unsplit / worst-case and fit from telemetry — the bench's probe-
+    # and-fit passes, done continuously by the driver. Manual fractions and
+    # explicit 0/1 keep the round-3 semantics.
+    kept_auto = mesh.kept_frac < 0.0
+    kept_budget = _kept_budget(mesh, pair_budget)  # None in auto/off modes
+    if "kept_budget" in resume_extras:
+        if kept_budget is not None:
+            kept_budget = max(kept_budget, int(resume_extras["kept_budget"]))
+        elif kept_auto:
+            kept_budget = int(resume_extras["kept_budget"])
+    contrib_auto = mesh.contrib_frac < 0.0
     contrib_budget = _contrib_budget0(mesh, pair_budget)
-    if "contrib_budget" in resume_extras and contrib_budget is not None:
-        contrib_budget = max(contrib_budget, int(resume_extras["contrib_budget"]))
+    if "contrib_budget" in resume_extras:
+        if contrib_budget is not None:
+            contrib_budget = max(contrib_budget,
+                                 int(resume_extras["contrib_budget"]))
+        elif contrib_auto:
+            contrib_budget = int(resume_extras["contrib_budget"])
     sat_auto = mesh.sat_frac < 0.0
     sat_budget = _sat_budget0(mesh, pair_budget)
     if "sat_budget" in resume_extras:
@@ -354,25 +375,29 @@ def train(
         elif sat_auto:  # auto mode had enabled the cull before the checkpoint
             sat_budget = int(resume_extras["sat_budget"])
 
-    def build_step(budget, contrib, sat):
+    def build_step(budget, contrib, sat, kept):
         if sharded:
             return make_sharded_spmd_train_step(
                 dev_mesh, opt, mesh, g.spatial_lr_scale, w, h,
                 pair_budget=budget, contrib_budget=contrib, sat_budget=sat,
+                kept_budget=kept,
             )
         if spmd:
             return make_spmd_train_step(
                 dev_mesh, opt, mesh, g.spatial_lr_scale, w, h,
                 pair_budget=budget, contrib_budget=contrib, sat_budget=sat,
+                kept_budget=kept,
             )
         return make_train_step(opt, mesh, g.spatial_lr_scale, w, h,
                                pair_budget=budget, contrib_budget=contrib,
-                               sat_budget=sat)
+                               sat_budget=sat, kept_budget=kept)
 
-    train_step = build_step(pair_budget, contrib_budget, sat_budget)
+    train_step = build_step(pair_budget, contrib_budget, sat_budget,
+                            kept_budget)
     low_usage_streak = 0
     low_contrib_streak = 0
     low_sat_streak = 0
+    low_kept_streak = 0
 
     metrics = MetricsLogger(model.model_path if is_main else None)
 
@@ -422,6 +447,8 @@ def train(
             "pair_budget": np.asarray(pair_budget, np.int64),
             **({"contrib_budget": np.asarray(contrib_budget, np.int64)}
                if contrib_budget is not None else {}),
+            **({"kept_budget": np.asarray(kept_budget, np.int64)}
+               if kept_budget is not None else {}),
             **({"sat_budget": np.asarray(sat_budget, np.int64)}
                if sat_budget is not None else {}),
             "cam_order": np.asarray(cam_order, np.int64),
@@ -535,8 +562,26 @@ def train(
                     f"[iter {iteration}] sat budget -> {sat_budget} "
                     f"({int(n_sat)} survivor slots; recompiling)"
                 )
-                train_step = build_step(pair_budget, contrib_budget, sat_budget)
+                train_step = build_step(pair_budget, contrib_budget, sat_budget,
+                                        kept_budget)
                 low_sat_streak = 0
+            elif (kept_budget is not None and int(n_dropped) > 0
+                  and int(n_pairs) < pair_budget):
+                # n_pairs < pair_budget means the expansion fit — the drop is
+                # a KEPT-budget overflow (grad_ok zeroed this step); regrow to
+                # the observed demand (kept + dropped) with 20% headroom
+                kept_budget = min(pair_budget, max(
+                    kept_budget * 2,
+                    -(-int((kept_budget + int(n_dropped)) * 1.2)
+                      // mesh.chunk_size) * mesh.chunk_size,
+                ))
+                printer.print(
+                    f"[iter {iteration}] kept budget -> {kept_budget} "
+                    f"({int(n_dropped)} kept pairs dropped; recompiling)"
+                )
+                train_step = build_step(pair_budget, contrib_budget,
+                                        sat_budget, kept_budget)
+                low_kept_streak = 0
             elif int(n_dropped) > 0:
                 pair_budget *= 2
                 if contrib_budget is not None:
@@ -545,7 +590,8 @@ def train(
                     f"[iter {iteration}] pair budget {pair_budget // 2} -> {pair_budget} "
                     f"({int(n_dropped)} pairs dropped; recompiling)"
                 )
-                train_step = build_step(pair_budget, contrib_budget, sat_budget)
+                train_step = build_step(pair_budget, contrib_budget, sat_budget,
+                                        kept_budget)
                 low_usage_streak = 0
             elif contrib_budget is not None and int(n_contrib) > contrib_budget:
                 # contrib overflow zeroed this step's gradients (the image is
@@ -556,7 +602,8 @@ def train(
                     f"[iter {iteration}] contrib budget -> {contrib_budget} "
                     f"({int(n_contrib)} compacted rows; recompiling)"
                 )
-                train_step = build_step(pair_budget, contrib_budget, sat_budget)
+                train_step = build_step(pair_budget, contrib_budget, sat_budget,
+                                        kept_budget)
                 low_contrib_streak = 0
             elif int(n_pairs) * 4 < pair_budget and pair_budget > mesh.pair_budget:
                 low_usage_streak += 1
@@ -565,13 +612,15 @@ def train(
                     printer.print(
                         f"[iter {iteration}] pair budget shrink -> {pair_budget}"
                     )
-                    train_step = build_step(pair_budget, contrib_budget, sat_budget)
+                    train_step = build_step(pair_budget, contrib_budget, sat_budget,
+                                        kept_budget)
                     low_usage_streak = 0
             else:
                 low_usage_streak = 0
                 if (contrib_budget is not None
                         and int(n_contrib) * 4 < contrib_budget
-                        and contrib_budget > _contrib_budget0(mesh, pair_budget)):
+                        and contrib_budget
+                        > (_contrib_budget0(mesh, pair_budget) or 512)):
                     low_contrib_streak += 1
                     if low_contrib_streak >= 20:
                         contrib_budget //= 2
@@ -580,7 +629,24 @@ def train(
                             f"{contrib_budget}"
                         )
                         train_step = build_step(pair_budget, contrib_budget,
-                                                sat_budget)
+                                                sat_budget, kept_budget)
+                        low_contrib_streak = 0
+                elif (contrib_auto and contrib_budget is None
+                        and int(n_contrib) * 2 < (kept_budget or pair_budget)):
+                    # AUTO contrib (contrib_frac=-1): bootstrap the backward-
+                    # compaction split once the composited-pair count is
+                    # provably far below the worst-case d-array
+                    low_contrib_streak += 1
+                    if low_contrib_streak >= 20:
+                        contrib_budget = max(
+                            -(-int(int(n_contrib) * 1.5) // 512) * 512, 512)
+                        printer.print(
+                            f"[iter {iteration}] contrib budget fit -> "
+                            f"{contrib_budget} ({int(n_contrib)} composited "
+                            f"rows; recompiling)"
+                        )
+                        train_step = build_step(pair_budget, contrib_budget,
+                                                sat_budget, kept_budget)
                         low_contrib_streak = 0
                 else:
                     low_contrib_streak = 0
@@ -596,10 +662,33 @@ def train(
                             f"{sat_budget}"
                         )
                         train_step = build_step(pair_budget, contrib_budget,
-                                                sat_budget)
+                                                sat_budget, kept_budget)
                         low_sat_streak = 0
                 else:
                     low_sat_streak = 0
+                # AUTO kept budget (kept_frac=-1): bootstrap/refit the
+                # post-sort split from the kept-pair telemetry. fitted uses
+                # n_pairs - n_culled (exact single-device; in SPMD n_culled
+                # is a sum over shards, so fitted under-estimates — the 1.5x
+                # margin plus the overflow regrow above absorb that)
+                fitted_kept = max(int(n_pairs) - int(n_culled), 0)
+                kept_target = -(-int(fitted_kept * 1.5 + mesh.chunk_size)
+                                // mesh.chunk_size) * mesh.chunk_size
+                if (kept_auto and kept_target * 2
+                        < (kept_budget or pair_budget)):
+                    low_kept_streak += 1
+                    if low_kept_streak >= 20:
+                        kept_budget = max(kept_target, mesh.chunk_size)
+                        printer.print(
+                            f"[iter {iteration}] kept budget fit -> "
+                            f"{kept_budget} (kept {fitted_kept} of "
+                            f"{int(n_pairs)} pairs; recompiling)"
+                        )
+                        train_step = build_step(pair_budget, contrib_budget,
+                                                sat_budget, kept_budget)
+                        low_kept_streak = 0
+                else:
+                    low_kept_streak = 0
 
             # --- AUTO saturation cull (default, sat_frac=-1): probe n_sat
             # telemetry every 500 iters while off; enable once the cull would
@@ -626,7 +715,7 @@ def train(
                         f"(sat budget {sat_budget}; recompiling)"
                     )
                     train_step = build_step(pair_budget, contrib_budget,
-                                            sat_budget)
+                                            sat_budget, kept_budget)
                     low_sat_streak = 0
 
             # --- logging / eval / save / checkpoint FIRST (upstream order:

@@ -216,3 +216,46 @@ def test_sat_auto_probe_and_enable(tmp_path, monkeypatch):
     steps = [json.loads(l) for l in open(out2 / "metrics.jsonl")
              if "n_sat_pairs" in json.loads(l or "{}")]
     assert steps and steps[-1]["n_sat_pairs"] > 0, steps
+
+
+def test_auto_kept_contrib_budget_fit(tmp_path):
+    """AUTO kept/contrib budgets (kept_frac/contrib_frac = -1, the defaults):
+    after 20 low-usage checks (200 iterations) the driver fits the post-sort
+    kept split and the backward-compaction budget from telemetry; the fitted
+    values persist into checkpoints (and training is undisturbed)."""
+    from gsplat_tpu.ckpt import load_checkpoint_extras
+    from gsplat_tpu.config import ModelParams, OtherParams, PipelineParams
+    from gsplat_tpu.io.synthetic import make_colmap_scene
+    from gsplat_tpu.train.loop import train
+
+    scene_root = tmp_path / "scene"
+    make_colmap_scene(scene_root, n_cams=4, width=48, height=32, n_points=30)
+    out = tmp_path / "model"
+    model = ModelParams(source_path=str(scene_root), model_path=str(out))
+    opt = OptimizationParams(
+        iterations=260, densify_from_iter=10**9, densify_until_iter=0,
+        opacity_reset_interval=10**9,
+    )
+    other = OtherParams(test_iterations=[], save_iterations=[],
+                        checkpoint_iterations=[260], quiet=True)
+    mesh = MeshParams(tile_size=16, chunk_size=32, pair_budget=1 << 12,
+                      capacity=64, sat_probe_interval=10**9)
+    train(model, opt, PipelineParams(), other, mesh)
+
+    extras = load_checkpoint_extras(out / "chkpnt260.npz")
+    assert "kept_budget" in extras and "contrib_budget" in extras, extras.keys()
+    kept = int(extras["kept_budget"])
+    contrib = int(extras["contrib_budget"])
+    assert 32 <= kept < (1 << 12), kept
+    assert 512 <= contrib, contrib
+    # and the resumed run accepts the fitted budgets (auto restore path)
+    other2 = OtherParams(test_iterations=[], save_iterations=[],
+                         checkpoint_iterations=[],
+                         start_checkpoint=str(out / "chkpnt260.npz"),
+                         quiet=True)
+    opt2 = OptimizationParams(
+        iterations=270, densify_from_iter=10**9, densify_until_iter=0,
+        opacity_reset_interval=10**9,
+    )
+    g2, _ = train(model, opt2, PipelineParams(), other2, mesh)
+    assert int(g2.n_live) > 0
