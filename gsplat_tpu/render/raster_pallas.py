@@ -20,12 +20,15 @@ TPU-native replacement for upstream's CUDA `diff-gaussian-rasterization` tile lo
   GAUSSIAN ID (int32 bits in an f32 row): the backward kernel copies it through
   (masked rows get KEY_INVALID) so every d-row carries its own segment-sort key
   and per-Gaussian gradient reduction outside is one `lax.sort` + cumsum-diff.
-- The per-pair/per-pixel Gaussian evaluation is MXU-shaped: power(pair,pixel) is
-  a bilinear form U(8,pair)^T @ V(8,pixel) where V = [px^2, py^2, px*py, px, py, 1]
-  in TILE-LOCAL pixel coordinates (local coords keep the f32 cancellation error
-  ~1e-5; global 1080p coordinates would lose ~3 digits). In-chunk front-to-back
-  compositing is parallelized with an exclusive-transmittance prefix computed by
-  a lower-triangular matmul in log space (exact in exact arithmetic), also MXU.
+- The per-pair/per-pixel Gaussian evaluation runs in TILE-LOCAL pixel
+  coordinates (local coords keep the f32 cancellation error ~1e-5; global
+  1080p coordinates would lose ~3 digits) — by default as direct broadcast
+  VPU FMAs (GSPLAT_POWER=vpu); the MXU bilinear form U(8,pair)^T @ V(8,pixel)
+  with V = [px^2, py^2, px*py, px, py, 1] stays selectable. In-chunk
+  front-to-back compositing is parallelized with an exclusive-transmittance
+  prefix — by default a product scan over (1 - alpha) via log2(chunk) shifted
+  VPU multiplies (GSPLAT_TRANS=prod); the log-space sum-scan forms (shifted
+  adds, or lower-triangular matmuls on the MXU) remain selectable A/B levers.
 - The backward kernel re-sweeps the same chunks front-to-back, reconstructing
   per-pair transmittance and the prefix of color-dot-cotangent sums;
   dL/d{mean2d, conic, rgb, opacity} per pair chains through dU = V @ dpower^T
