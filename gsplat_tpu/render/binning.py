@@ -285,10 +285,11 @@ def _expand_fused(
     do_cull, sat_pack=False, interpret,
 ):
     """Fused Pallas pair expansion (see render/expand_pallas.py): XLA builds
-    the live-compacted per-Gaussian column table and the monotone pair->row
-    map, the kernel does everything per-pair. Bit-identical to _expand_xla."""
+    the live-compacted per-Gaussian column table and the per-micro-block
+    window bases, the kernel does everything per-pair (including the
+    pair->row resolution, by binary search of the table's offset column).
+    Bit-identical to _expand_xla."""
     from gsplat_tpu.render.expand_pallas import WIN, expand_pairs
-    from gsplat_tpu.render.scan_pallas import prefix_sum_flags
 
     db = depth_shift(num_tiles)
     live = counts > 0
@@ -331,23 +332,28 @@ def _expand_fused(
     counts_l = cols_l[:, -1]
     csl = jnp.cumsum(counts_l)
     offs_l = (csl - counts_l).astype(jnp.int32)
-    live_l = counts_l > 0
     cols_t = jnp.concatenate(
         [cols_l, ord_[:, None], offs_l[:, None]], axis=1
     ).T                                                  # (NC, n)
     n_pad = -(-n // 128) * 128 + WIN + 128
     cols_t = jnp.pad(cols_t, ((0, 0), (0, n_pad - n)))
+    # the kernel binary-searches the offset row: live offsets strictly
+    # increase, dead rows carry `total` (csl tail) — table PADDING must sort
+    # after both, so it carries INT32_MAX instead of the pad zeros
+    cols_t = cols_t.at[-1, n:].set(jnp.iinfo(jnp.int32).max)
 
-    # segment-start marks over LIVE rows only (strictly increasing offsets =>
-    # 0/1 flags => gid_c increments by <= 1 per slot, the kernel's window bound)
-    marks = (
-        jnp.zeros(pair_budget, jnp.int32)
-        .at[jnp.where(live_l, offs_l, pair_budget)]
-        .add(1, mode="drop")
+    # per-micro-block window bases: the row owning each 1024-pair block's
+    # first pair, #{csl <= p} - form. ~S/1024 queries (tiny next to the
+    # pair-long marks scatter + prefix scan this replaces — 8.8 ms at the
+    # sparse bench); method='sort' (the 'scan' binary search would pay
+    # log2(n) gather rounds).
+    nmb = -(-pair_budget // 1024)
+    qs = jnp.arange(nmb, dtype=jnp.int32) * 1024
+    bases = jnp.searchsorted(csl, qs, side="right", method="sort").astype(
+        jnp.int32
     )
-    gid_c = prefix_sum_flags(marks, bias=-1, interpret=interpret)
     return expand_pairs(
-        cols_t, gid_c, total, tw=tw, tile_size=tile_size, db=db,
+        cols_t, bases, total, pair_budget, tw=tw, tile_size=tile_size, db=db,
         num_tiles=num_tiles, n_orig=n, do_cull=do_cull,
         alpha_thresh=ALPHA_MIN * 0.98, sat_pack=sat_pack, interpret=interpret,
     )

@@ -10,16 +10,19 @@ Design (TPU-first; no counterpart in the reference — its rasterizer stage is
 absent, SURVEY.md §1 L2.5; upstream CUDA 3DGS does this with duplicateWithKeys
 + global atomics, which TPUs don't have):
 
-- XLA precomputes `gid_c` (pair slot -> LIVE-COMPACTED Gaussian index) with a
-  1-column scatter of segment-start marks + a Pallas prefix scan. Because the
-  table is live-compacted (every row has >= 1 pair), gid_c increments by at
-  most 1 per pair slot, so any 1024-pair micro-block touches at most 1025
-  consecutive table rows.
+- XLA precomputes only the per-micro-block window BASES (one small
+  `searchsorted` of the 1024-pair block boundaries into the live cumulative
+  counts — ~S/1024 queries). Because the table is live-compacted (every row
+  has >= 1 pair), a 1024-pair micro-block touches at most 1025 consecutive
+  table rows.
 - The kernel walks (128,128)-pair blocks; for each 1024-pair micro-block it
-  DMAs the (NC, 1280) column window starting at the micro-block's first
-  Gaussian (128-aligned) and resolves every per-pair column value with nine
-  128-lane `dynamic_gather`s + selects — no scatters, no big sorts, no
-  per-pair HBM gathers.
+  DMAs the (NC, 1280) column window starting at the micro-block's base
+  Gaussian (128-aligned), resolves each pair's row by a BINARY SEARCH of the
+  window's sorted offset column (11 rounds of 128-lane `dynamic_gather`s —
+  replacing the round-3 design's pair-long `gid_c` map, whose segment-start
+  marks scatter alone cost 8.8 ms at the sparse bench), and resolves every
+  per-pair column value with 128-lane `dynamic_gather`s + selects — no
+  scatters, no big sorts, no per-pair HBM gathers.
 - Per-pair arithmetic (rect decomposition via an exact reciprocal-multiply
   division, the tight-cull quadratic minimum, key packing) runs on the VPU in
   the same pass.
@@ -69,7 +72,7 @@ def _gather_cols(win_ref, slot, idx, cid, cols):
 
 
 def _expand_kernel(
-    meta_ref, gidc_ref, cols_hbm, key_ref, gid_ref, win, sems, *,
+    meta_ref, bases_ref, cols_hbm, key_ref, gid_ref, win, sems, *,
     tw, tile_size, db, num_tiles, n_orig, n_pad, do_cull, alpha_thresh,
     sat_pack, ncols,
 ):
@@ -81,11 +84,12 @@ def _expand_kernel(
     col_ids = [0, 1, 2, 3, ncols - 2, ncols - 1]
     if do_cull:
         col_ids += [4, 5, 6, 7, 8, 9]
+    off_c = ncols - 1
 
     max_base = n_pad - WIN
 
     def win_base(m):
-        base = jnp.minimum(jnp.maximum(gidc_ref[MB_ROWS * m, 0], 0), max_base)
+        base = jnp.minimum(jnp.maximum(bases_ref[0, m], 0), max_base)
         return pl.multiple_of((base // 128) * 128, 128)
 
     def dma(m):
@@ -103,16 +107,44 @@ def _expand_kernel(
             dma(m + 1).start()
         dma(m).wait()
         base_al = win_base(m)
-
-        lid = gidc_ref[MB_ROWS * m:MB_ROWS * (m + 1), :] - base_al
-        cid = jnp.maximum(lid, 0) >> 7               # arithmetic >> on >= 0
-        cid = jnp.where(lid < 0, N_CHUNKS, cid)      # negative -> no chunk
-        idx = lid & 127
-        cv = _gather_cols(win, m % 2, idx, cid, col_ids)
+        slot = m % 2
 
         row = jax.lax.broadcasted_iota(jnp.int32, (MB_ROWS, 128), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (MB_ROWS, 128), 1)
         p = (b * BLOCK_PAIRS + m * MB_ROWS * 128) + row * 128 + lane
+
+        # per-pair row id by BINARY SEARCH of the window's offset column
+        # (sorted: live offsets strictly increase, dead rows carry the live
+        # total, table padding carries INT32_MAX — binning._expand_fused).
+        # count = #{window offs <= p}; the owning row is count - 1. Replaces
+        # the precomputed pair-long gid_c map (marks scatter + prefix scan).
+        def gather_off(idx_w):
+            cid_w = idx_w >> 7
+            lidx = idx_w & 127
+            acc = jnp.zeros((MB_ROWS, 128), jnp.int32)
+            for k in range(N_CHUNKS):
+                chunk = jnp.broadcast_to(
+                    win[slot, off_c:off_c + 1, 128 * k:128 * (k + 1)],
+                    (MB_ROWS, 128),
+                )
+                g_k = jnp.take_along_axis(chunk, lidx, axis=1)
+                acc = jnp.where(cid_w == k, g_k, acc)
+            return acc
+
+        count = jnp.zeros((MB_ROWS, 128), jnp.int32)
+        step = 1024  # next pow2 >= WIN
+        while step >= 1:
+            probe = count + step - 1
+            ok = probe < WIN
+            off_p = gather_off(jnp.where(ok, probe, 0))
+            count = jnp.where(ok & (off_p <= p), count + step, count)
+            step //= 2
+
+        lid = count - 1
+        cid = jnp.maximum(lid, 0) >> 7               # arithmetic >> on >= 0
+        cid = jnp.where(lid < 0, N_CHUNKS, cid)      # negative -> no chunk
+        idx = lid & 127
+        cv = _gather_cols(win, slot, idx, cid, col_ids)
 
         x0y0 = cv[0]
         w = cv[1]
@@ -167,8 +199,9 @@ def _expand_kernel(
 
 def expand_pairs(
     cols_t: jnp.ndarray,     # (NC, n_pad) int32 live-compacted column table
-    gid_c: jnp.ndarray,      # (S,) int32 pair -> live row index (monotone)
+    bases: jnp.ndarray,      # (ceil(S/1024),) int32 micro-block base row ids
     total: jnp.ndarray,      # () int32 live pair count
+    S: int,                  # pair slots (multiple of 128)
     *,
     tw: int,
     tile_size: int,
@@ -183,7 +216,6 @@ def expand_pairs(
     """Run the fused expansion kernel. Returns (key, gid) each (S,) int32,
     in expansion order, ready for the pair sort. S must be a multiple of 128
     and n_pad a multiple of 128 with >= WIN slack rows (see build_cols)."""
-    (S,) = gid_c.shape
     assert S % 128 == 0, S
     nc, n_pad = cols_t.shape
     assert n_pad % 128 == 0 and n_pad >= WIN, (n_pad,)
@@ -194,6 +226,13 @@ def expand_pairs(
         nc = cols_t.shape[0]
     rows = S // 128
     grid = pl.cdiv(rows, N_MICRO * MB_ROWS)
+    # per-micro-block window bases ride as a (grid, 128) VMEM block input
+    # (128 lanes hold the N_MICRO=16 bases; SMEM prefetch would cap the grid)
+    nmb = grid * N_MICRO
+    bases_blk = jnp.pad(
+        bases.astype(jnp.int32), (0, nmb - bases.shape[0])
+    ).reshape(grid, N_MICRO)
+    bases_blk = jnp.pad(bases_blk, ((0, 0), (0, 128 - N_MICRO)))
 
     kern = functools.partial(
         _expand_kernel, tw=tw, tile_size=tile_size, db=db,
@@ -205,7 +244,8 @@ def expand_pairs(
         num_scalar_prefetch=1,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(blk, lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
@@ -227,7 +267,7 @@ def expand_pairs(
         interpret=interpret,
     )(
         jnp.asarray(total, jnp.int32).reshape(1),
-        gid_c.reshape(rows, 128),
+        bases_blk,
         cols_t,
     )
     return key.reshape(S), gid.reshape(S)

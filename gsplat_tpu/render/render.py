@@ -140,16 +140,42 @@ def _rasterize_bwd(static, res, g):
     )
     key_s = sorted_ops[0]
     n_gauss = n_rows - 1
-    # Per-Gaussian sums off the sorted rows: 16-wide cumsum table + boundary
-    # positions from a searchsorted over the sorted keys, then an adjacent
-    # difference. (The 16-wide layout: the boundary row gather out of a
-    # 9-wide table runs ~5x slower per row than out of the 64-byte-row (N,16)
-    # layout.) A fused Pallas segment-reduction kernel (segred_pallas,
-    # rounds 2-4) beat this block ~2x in isolation but flipped XLA
+    # zero the whole step's gradient on either overflow (kept-budget overflow
+    # flagged by binning, or contrib-budget overflow detected above); the
+    # driver's adaptive budgets regrow and the step is repeated semantically
+    # (upstream has no analogue — budgets are the static-shape price).
+    scale = (grad_ok & jnp.logical_not(overflow)).astype(jnp.float32)
+
+    import os as _os
+
+    from gsplat_tpu.render.segsum_pallas import GB as _SUMS_GB
+    from gsplat_tpu.render.segsum_pallas import segment_sums
+
+    if (not interpret and n_gauss % _SUMS_GB == 0
+            and _os.environ.get("GSPLAT_SUMS", "pallas") != "xla"):
+        # Per-Gaussian sums DIRECTLY from the sorted rows: one windowed
+        # equality-matmul kernel (segsum_pallas) replaces the whole XLA chain
+        # below (16-wide cumsum + boundary-ends kernel + S[ends] row gather +
+        # adjacent difference — ~18 ms at the sparse bench, round-4 profile).
+        sums = segment_sums(key_s, sorted_ops[1:], n_gauss,
+                            interpret=interpret)          # (N, 16)
+        d_attrs = jnp.concatenate(
+            [sums * scale, jnp.zeros((1, ATTR_DIM), sums.dtype)], axis=0
+        )
+        zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+        return (d_attrs, zero_i(jnp.zeros(gathered_t.shape[1], jnp.int32)),
+                zero_i(tile_start), zero_i(tile_count), zero_i(grad_ok))
+
+    # XLA fallback (interpret mode / unaligned capacities): per-Gaussian sums
+    # off the sorted rows via a 16-wide cumsum table + boundary positions +
+    # an adjacent difference. (The 16-wide layout: the boundary row gather
+    # out of a 9-wide table runs ~5x slower per row than out of the
+    # 64-byte-row (N,16) layout.) A fused Pallas segment-reduction kernel
+    # over a STACKED (16, P) operand (segred_pallas, rounds 2-4) flipped XLA
     # memory-space assignment into staging ~15 f32[N] projection/VJP buffers
-    # through VMEM (+170 ms/step); three compiler-option attacks failed
-    # (BASELINE.md round-4 notes) and it was deleted. A row scatter-add
-    # replacement loses 4x (scripts/micro_gradreduce.py).
+    # through VMEM (+170 ms/step) and was deleted; segsum_pallas above is the
+    # narrow-operand redesign. A row scatter-add replacement loses 4x
+    # (scripts/micro_gradreduce.py).
     d_sorted = jnp.stack(
         sorted_ops[1:]
         + (ATTR_DIM - N_DCOLS) * (jnp.zeros_like(key_s),),
@@ -165,8 +191,6 @@ def _rasterize_bwd(static, res, g):
     # at the sparse bench) with a coarse 1k-query bracket + one DMA sweep of
     # the key row (bounds_pallas). GSPLAT_ENDS=xla keeps the fallback, which
     # also covers interpret mode and unaligned capacities.
-    import os as _os
-
     from gsplat_tpu.render.bounds_pallas import GB as _ENDS_GB
     from gsplat_tpu.render.bounds_pallas import segment_ends
 
@@ -185,11 +209,6 @@ def _rasterize_bwd(static, res, g):
     d_live = T_b - jnp.concatenate(
         [jnp.zeros((1, N_DCOLS), T_b.dtype), T_b[:-1]], axis=0
     )
-    # zero the whole step's gradient on either overflow (kept-budget overflow
-    # flagged by binning, or contrib-budget overflow detected above); the
-    # driver's adaptive budgets regrow and the step is repeated semantically
-    # (upstream has no analogue — budgets are the static-shape price).
-    scale = (grad_ok & jnp.logical_not(overflow)).astype(d_live.dtype)
     d_live = d_live * scale
     d_attrs = jnp.concatenate(
         [d_live, jnp.zeros((n_rows - d_live.shape[0], N_DCOLS), d_live.dtype)],
