@@ -504,7 +504,15 @@ def bin_gaussians(
         # each tile's head offset — the kernels' chunk grid sees identical
         # valid content, so image, nproc, and gradients are bit-identical.
         q_s = gid_s & ((1 << SAT_Q_BITS) - 1)
-        C = jnp.cumsum(q_s[:kept_budget])            # (kept,) int32 inclusive
+        if not interpret:
+            # one-pass Pallas scan (6-bit quanta are exact in its f32 blocks;
+            # XLA's log-pass cumsum decomposition cost ~5 ms at the dense
+            # bench's 26M kept pairs)
+            from gsplat_tpu.render.scan_pallas import prefix_sum_small
+
+            C = prefix_sum_small(q_s[:kept_budget], interpret=interpret)
+        else:
+            C = jnp.cumsum(q_s[:kept_budget])        # (kept,) int32 inclusive
         Cprev = jnp.where(starts > 0, C[jnp.maximum(starts - 1, 0)], 0)
         pos = jnp.searchsorted(
             C, Cprev + SAT_CUT, side="left"

@@ -7,10 +7,15 @@ HBM bandwidth: a sequential grid walks (BLOCK_ROWS, 128) blocks, computes the
 in-block prefix on the MXU (two triangular matmuls), and carries the running
 total across blocks in SMEM scratch.
 
-Exactness: inputs are restricted to {0, 1} flags (marks / kept columns — the
-only pair-long i32 scans in the pipeline), so every in-block partial sum is
-<= BLOCK_ROWS*128 = 2^16, exactly representable in f32; the running carry is
-added in int32. The result equals jnp.cumsum bit-for-bit.
+Exactness: inputs are restricted to SMALL non-negative int32 values
+(<= 255), so every in-block partial sum is <= 255 * BLOCK_ROWS * 128 =
+16,711,680 < 2^24, exactly representable in f32; the running carry is added
+in int32. The result equals jnp.cumsum bit-for-bit. Current call site: the
+saturation bound cull's pair-long cumsum of 6-bit alpha quanta
+(binning.bin_gaussians; XLA's decomposition of the same cumsum cost ~5 ms at
+the dense bench's 26M kept pairs). The round-3 design also used it for the
+expansion's gid_c map, until the pair->row resolution moved into the
+expansion kernel itself (expand_pallas binary search).
 
 No counterpart exists in the reference (its rasterizer data path is absent,
 SURVEY.md §1 L2.5); upstream CUDA 3DGS uses cub::DeviceScan for the same role.
@@ -35,7 +40,7 @@ def _scan_kernel(x_ref, out_ref, carry_ref, *, bias, clip_hi, n_rows):
     def _():
         carry_ref[0, 0] = 0
 
-    x = x_ref[:].astype(jnp.float32)  # (BLOCK_ROWS, 128) of 0/1 flags
+    x = x_ref[:].astype(jnp.float32)  # (BLOCK_ROWS, 128), values <= 255
     rows_done = b * BLOCK_ROWS
     if n_rows % BLOCK_ROWS != 0:
         # zero rows past the logical end so the carry stays exact
@@ -65,7 +70,7 @@ def _scan_kernel(x_ref, out_ref, carry_ref, *, bias, clip_hi, n_rows):
     carry_ref[0, 0] = carry + block_pre[BLOCK_ROWS - 1, 127]
 
 
-def prefix_sum_flags(
+def prefix_sum_small(
     x: jnp.ndarray,
     *,
     bias: int = 0,
@@ -73,8 +78,9 @@ def prefix_sum_flags(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Inclusive prefix sum (+bias, optional clip to [0, clip_hi]) of a 1-D
-    int32 array of 0/1 FLAGS. Falls back to jnp.cumsum off the fast path
-    (length not a multiple of 128, or tiny arrays not worth a kernel launch).
+    int32 array of SMALL non-negative values (<= 255; see module note for the
+    f32-exactness bound). Falls back to jnp.cumsum off the fast path (length
+    not a multiple of 128, or tiny arrays not worth a kernel launch).
 
     clip_hi may be a traced scalar; it is applied as clip(cum + bias, 0, hi).
     """
