@@ -41,6 +41,10 @@ def main():
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--size", type=int, nargs=2, default=[1920, 1080])
     ap.add_argument("--tile_size", type=int, default=32)
+    ap.add_argument("--scene_tile", type=int, default=0,
+                    help="tile size the scene's splat radii target (default: "
+                         "--tile_size). Set to 32 when A/B-ing --tile_size so "
+                         "the physical scene stays fixed.")
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--ppg", type=float, default=2.25)
     ap.add_argument("--pair_budget", type=int, default=5 << 19)
@@ -58,7 +62,7 @@ def main():
     w, h = ns.size
     chunk = ns.chunk
     g, cam = build_scene(ns.n, w, h, target_pairs_per_gaussian=ns.ppg,
-                         tile_size=ns.tile_size)
+                         tile_size=ns.scene_tile or ns.tile_size)
     bg = jnp.zeros(3, jnp.float32)
     pack = None if ns.attr_pack < 0 else bool(ns.attr_pack)
 
