@@ -89,7 +89,7 @@ def _expand_kernel(
     max_base = n_pad - WIN
 
     def win_base(m):
-        base = jnp.minimum(jnp.maximum(bases_ref[0, m], 0), max_base)
+        base = jnp.minimum(jnp.maximum(bases_ref[0, 0, m], 0), max_base)
         return pl.multiple_of((base // 128) * 128, 128)
 
     def dma(m):
@@ -226,13 +226,14 @@ def expand_pairs(
         nc = cols_t.shape[0]
     rows = S // 128
     grid = pl.cdiv(rows, N_MICRO * MB_ROWS)
-    # per-micro-block window bases ride as a (grid, 128) VMEM block input
-    # (128 lanes hold the N_MICRO=16 bases; SMEM prefetch would cap the grid)
+    # per-micro-block window bases ride as a (grid, 8, 128) VMEM block input
+    # (row 0's first N_MICRO lanes hold the bases; the 8-sublane shape is the
+    # Mosaic block-divisibility minimum, and SMEM prefetch would cap the grid)
     nmb = grid * N_MICRO
     bases_blk = jnp.pad(
         bases.astype(jnp.int32), (0, nmb - bases.shape[0])
-    ).reshape(grid, N_MICRO)
-    bases_blk = jnp.pad(bases_blk, ((0, 0), (0, 128 - N_MICRO)))
+    ).reshape(grid, 1, N_MICRO)
+    bases_blk = jnp.pad(bases_blk, ((0, 0), (0, 7), (0, 128 - N_MICRO)))
 
     kern = functools.partial(
         _expand_kernel, tw=tw, tile_size=tile_size, db=db,
@@ -244,7 +245,7 @@ def expand_pairs(
         num_scalar_prefetch=1,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, 128), lambda b, *_: (b, 0),
+            pl.BlockSpec((1, 8, 128), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],

@@ -61,7 +61,12 @@ def main():
     backend = jax.default_backend()
     g, cam = build(ns.n, ns.size)
     bg = jnp.zeros(3, jnp.float32)
-    kw = dict(tile_size=ns.tile_size, chunk=128, pair_budget=1 << 14)
+    # budget scales with n (~82 pairs/Gaussian covers the default scene's
+    # splat sizes at n=200; a fixed 1<<14 overflows at --n 1000, and dropped
+    # pairs truncate the image + zero the gradients — a harness artifact, not
+    # a kernel difference)
+    budget = max(1 << 14, -(-82 * ns.n // 128) * 128)
+    kw = dict(tile_size=ns.tile_size, chunk=128, pair_budget=budget)
 
     def loss_pallas(params, off):
         out = render(cam, g.with_params(params), bg, mean2d_offset=off,
@@ -99,7 +104,7 @@ def main():
     # change the compiled image (up to the T_EPS early-exit chunk boundary)
     def img_kept(params):
         out = render(cam, g.with_params(params), bg, interpret=False,
-                     kept_budget=(1 << 14) - 128, **kw)
+                     kept_budget=budget - 128, **kw)
         return out.image, out.n_dropped
 
     img_k, nd_k = jax.jit(img_kept)(g.params())
