@@ -123,7 +123,7 @@ def _op_column(a):
     e8 = (jax.lax.broadcasted_iota(jnp.int32, (ATTR_DIM, 1), 0) == 8).astype(
         jnp.float32
     )
-    return _dgx(a, e8, 0, 0, exact="b")  # (chunk, 1)
+    return _dgx(a, e8, 0, 0, exact="b", terms=3)  # (chunk, 1)
 
 
 def _rgb_columns(a):
@@ -132,7 +132,7 @@ def _rgb_columns(a):
     r = jax.lax.broadcasted_iota(jnp.int32, (ATTR_DIM, 3), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (ATTR_DIM, 3), 1)
     sel = (r == c + 5).astype(jnp.float32)
-    return _dgx(a, sel, 0, 0, exact="b")  # (chunk, 3)
+    return _dgx(a, sel, 0, 0, exact="b", terms=3)  # (chunk, 3)
 
 
 def _valid_column(j, head, count, chunk):
@@ -191,10 +191,18 @@ def _alphas_from_power(power, op_col):
 import os as _os
 
 _PRECISION_MODE = _os.environ.get("GSPLAT_MATMUL_PRECISION", "split")
-SPLIT_TERMS = int(_os.environ.get("GSPLAT_SPLIT_TERMS", "3"))
+# SPLIT_TERMS=2 (round-4 default flip): 2-term bf16 splits reach ~2^-16
+# input error — one MXU pass fewer per _dgx than the round-2 3-term form.
+# A/B on the v5e sparse kept profile (with DG_COMP=1): 183.9 -> 174.1 ms
+# synced, 162.8 -> 147.8 pipelined. Quality-validated together with DG_COMP
+# by the artifacts/qproxy_sat 30k run (test PSNR matches the 3-term r3
+# artifact's milestones).
+SPLIT_TERMS = int(_os.environ.get("GSPLAT_SPLIT_TERMS", "2"))
 # All precision/shape knobs freeze at IMPORT (like _PRECISION_MODE): jit caches
 # do not key on env vars, so a post-trace toggle would silently do nothing.
-_DG_COMP = _os.environ.get("GSPLAT_DG_COMP") == "1"
+# DG_COMP defaults ON since round 4 (part of the same A/B + 30k quality
+# validation as SPLIT_TERMS above); GSPLAT_DG_COMP=0 restores HIGHEST.
+_DG_COMP = _os.environ.get("GSPLAT_DG_COMP", "1") == "1"
 _CUMSUM_SUB = int(_os.environ.get("GSPLAT_CUMSUM_SUB", "32"))
 if _CUMSUM_SUB < 1:
     raise ValueError(f"GSPLAT_CUMSUM_SUB must be >= 1, got {_CUMSUM_SUB}")
@@ -224,7 +232,7 @@ _TRANS_MODE = _os.environ.get("GSPLAT_TRANS", "prod")
 assert _POWER_MODE in ("mxu", "vpu"), _POWER_MODE
 assert _CUMSUM_MODE in ("tri", "roll"), _CUMSUM_MODE
 assert _TRANS_MODE in ("log", "prod"), _TRANS_MODE
-# GSPLAT_PACK=1 flips the DEFAULT of render(attr_pack=...): the per-pair
+# GSPLAT_PACK sets the DEFAULT of render(attr_pack=...): the per-pair
 # attribute table rides as 8 columns — rgb + opacity packed into two bf16-pair
 # f32 columns — instead of 16. The budget-long P-row gather prices by row
 # width in tiers (microbench, BASELINE.md round 4: <=8 cols 8.96 ms,
@@ -234,7 +242,14 @@ assert _TRANS_MODE in ("log", "prod"), _TRANS_MODE
 # chain (the master f32 parameters are untouched — standard low-precision-
 # activation semantics). attr_pack is a real parameter (not a frozen env
 # read) so tests A/B it in-process.
-_PACK_DEFAULT = _os.environ.get("GSPLAT_PACK", "0") == "1"
+#
+# Default "auto" (round 4): ON for the compiled TPU path (A/B: 183.9 -> 179.6
+# ms synced, 162.8 -> 151.5 pipelined on the sparse kept profile;
+# quality-validated by the artifacts/qproxy_sat 30k run), OFF in interpret
+# mode so CPU tests and the jnp oracle stay exact-f32. GSPLAT_PACK=0/1
+# forces either way.
+_PACK_ENV = _os.environ.get("GSPLAT_PACK", "auto")
+_PACK_DEFAULT = None if _PACK_ENV == "auto" else _PACK_ENV == "1"
 PACKED_IN_DIM = 8
 # packed input row layout (8 rows x P):
 #   0 mean_x | 1 mean_y | 2 conic_a | 3 conic_b | 4 conic_c |
@@ -337,26 +352,35 @@ def _dg_1pass(a, b, ca, cb):
     )
 
 
-def _dgx(a, b, ca, cb, exact: str, exact_ok: bool = True):
+def _dgx(a, b, ca, cb, exact: str, exact_ok: bool = True, terms: int = 0):
     """dot_general where the operand named by `exact` ("a"/"b") is EXACTLY
     representable in bf16 (pixel basis, 0/1 triangular, one-hot selector,
-    ones row). In split mode: SPLIT_TERMS 1-pass matmuls on the other
-    operand's bf16 expansion (~2^-24 input error at 3 terms — HIGHEST's class
-    at half the passes). Other modes — or exact_ok=False (pixel basis at
+    ones row). In split mode: 1-pass matmuls on the other operand's bf16
+    expansion (3 terms cover the full 24-bit f32 mantissa — HIGHEST's class
+    at half the passes; the round-4 SPLIT_TERMS=2 default is ~2^-17 on the
+    heavy per-cell matmuls). Other modes — or exact_ok=False (pixel basis at
     tile_size > 32, where (tile/2)^2 > 256 overflows bf16's integer range) —
-    plain _dg."""
+    plain _dg.
+
+    terms=3 pins a callsite at the exact 3-term split regardless of
+    SPLIT_TERMS: the one-hot TRANSPOSES (_op_column/_rgb_columns/_cols6*)
+    move attribute VALUES, and a 2-term transpose perturbs opacity at ~2^-17,
+    flipping raw >= 1/255 alpha-threshold decisions vs the oracle (observed
+    as ~3e-3 single-pixel diffs). Their k is tiny, so the extra pass is
+    free; only the per-cell dU/d_op matmuls ride the 2-term default."""
     if _PRECISION_MODE != "split" or not exact_ok:
         return _dg(a, b, ca, cb)
+    n_terms = terms or SPLIT_TERMS
     if exact == "a":
         aa = a.astype(jnp.bfloat16)
         out = None
-        for h in _split_terms(b, SPLIT_TERMS):
+        for h in _split_terms(b, n_terms):
             d = _dg_1pass(aa, h, ca, cb)
             out = d if out is None else out + d
         return out
     bb = b.astype(jnp.bfloat16)
     out = None
-    for h in _split_terms(a, SPLIT_TERMS):
+    for h in _split_terms(a, n_terms):
         d = _dg_1pass(h, bb, ca, cb)
         out = d if out is None else out + d
     return out
@@ -375,7 +399,7 @@ def _cols6(a):
     c = jax.lax.broadcasted_iota(jnp.int32, (ATTR_DIM, 8), 1)
     tgt = c + (c == 5).astype(jnp.int32) * 3  # 0,1,2,3,4 -> same; 5 -> row 8
     sel = (r == tgt).astype(jnp.float32)
-    return _dgx(a, sel, 0, 0, exact="b")
+    return _dgx(a, sel, 0, 0, exact="b", terms=3)
 
 
 def _cols6p(a, op_row):
@@ -388,7 +412,7 @@ def _cols6p(a, op_row):
     r = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
     sel = (r == c).astype(jnp.float32)
-    return _dgx(blk, sel, 0, 0, exact="b")
+    return _dgx(blk, sel, 0, 0, exact="b", terms=3)
 
 
 def _rgb_columns_p(rgb_rows):
@@ -397,7 +421,7 @@ def _rgb_columns_p(rgb_rows):
     r = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (3, 3), 1)
     sel = (r == c).astype(jnp.float32)
-    return _dgx(rgb_rows, sel, 0, 0, exact="b")
+    return _dgx(rgb_rows, sel, 0, 0, exact="b", terms=3)
 
 
 def _power_vpu(cols, V, ox, oy):

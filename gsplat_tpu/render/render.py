@@ -146,36 +146,20 @@ def _rasterize_bwd(static, res, g):
     # (upstream has no analogue — budgets are the static-shape price).
     scale = (grad_ok & jnp.logical_not(overflow)).astype(jnp.float32)
 
-    import os as _os
-
-    from gsplat_tpu.render.segsum_pallas import GB as _SUMS_GB
-    from gsplat_tpu.render.segsum_pallas import segment_sums
-
-    if (not interpret and n_gauss % _SUMS_GB == 0
-            and _os.environ.get("GSPLAT_SUMS", "pallas") != "xla"):
-        # Per-Gaussian sums DIRECTLY from the sorted rows: one windowed
-        # equality-matmul kernel (segsum_pallas) replaces the whole XLA chain
-        # below (16-wide cumsum + boundary-ends kernel + S[ends] row gather +
-        # adjacent difference — ~18 ms at the sparse bench, round-4 profile).
-        sums = segment_sums(key_s, sorted_ops[1:], n_gauss,
-                            interpret=interpret)          # (N, 16)
-        d_attrs = jnp.concatenate(
-            [sums * scale, jnp.zeros((1, ATTR_DIM), sums.dtype)], axis=0
-        )
-        zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-        return (d_attrs, zero_i(jnp.zeros(gathered_t.shape[1], jnp.int32)),
-                zero_i(tile_start), zero_i(tile_count), zero_i(grad_ok))
-
-    # XLA fallback (interpret mode / unaligned capacities): per-Gaussian sums
-    # off the sorted rows via a 16-wide cumsum table + boundary positions +
-    # an adjacent difference. (The 16-wide layout: the boundary row gather
-    # out of a 9-wide table runs ~5x slower per row than out of the
-    # 64-byte-row (N,16) layout.) A fused Pallas segment-reduction kernel
-    # over a STACKED (16, P) operand (segred_pallas, rounds 2-4) flipped XLA
-    # memory-space assignment into staging ~15 f32[N] projection/VJP buffers
-    # through VMEM (+170 ms/step) and was deleted; segsum_pallas above is the
-    # narrow-operand redesign. A row scatter-add replacement loses 4x
-    # (scripts/micro_gradreduce.py).
+    # Per-Gaussian sums off the sorted rows via a 16-wide cumsum table +
+    # boundary positions + an adjacent difference. (The 16-wide layout: the
+    # boundary row gather out of a 9-wide table runs ~5x slower per row than
+    # out of the 64-byte-row (N,16) layout.) DESIGN NOTE (rounds 2-4, twice
+    # measured): fusing this whole block into one Pallas segment-reduction
+    # kernel wins in isolation but flips XLA memory-space assignment into
+    # staging ~15 f32[N] projection/VJP buffers through VMEM as async copies
+    # (+170-190 ms/step) — first with a STACKED (16, P) operand
+    # (segred_pallas, r2-3), then AGAIN with ten separate 1-D row operands
+    # (segsum_pallas, r4: kernel 14.4 ms vs the ~18 ms it replaced, step
+    # 183.9 -> 369.6 ms). The surviving rule: Pallas calls in this graph stay
+    # cascade-free only with very few budget-long HBM operands
+    # (bounds/compact/expand take 1-3). Both kernels are deleted; a row
+    # scatter-add replacement loses 4x (scripts/micro_gradreduce.py).
     d_sorted = jnp.stack(
         sorted_ops[1:]
         + (ATTR_DIM - N_DCOLS) * (jnp.zeros_like(key_s),),
@@ -191,6 +175,8 @@ def _rasterize_bwd(static, res, g):
     # at the sparse bench) with a coarse 1k-query bracket + one DMA sweep of
     # the key row (bounds_pallas). GSPLAT_ENDS=xla keeps the fallback, which
     # also covers interpret mode and unaligned capacities.
+    import os as _os
+
     from gsplat_tpu.render.bounds_pallas import GB as _ENDS_GB
     from gsplat_tpu.render.bounds_pallas import segment_ends
 
@@ -342,7 +328,9 @@ def render_projected(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if attr_pack is None:
-        attr_pack = _PACK_DEFAULT
+        # "auto": packed on the compiled TPU path, exact-f32 in interpret
+        # mode (see raster_pallas._PACK_DEFAULT)
+        attr_pack = (not interpret) if _PACK_DEFAULT is None else _PACK_DEFAULT
     y0 = None
     if region is not None:
         y0, height = region

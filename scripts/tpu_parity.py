@@ -66,7 +66,12 @@ def main():
     # pairs truncate the image + zero the gradients — a harness artifact, not
     # a kernel difference)
     budget = max(1 << 14, -(-82 * ns.n // 128) * 128)
-    kw = dict(tile_size=ns.tile_size, chunk=128, pair_budget=budget)
+    # attr_pack pinned OFF: this harness checks KERNEL numerics against the
+    # f32 oracle; the packed table's deliberate bf16 color/opacity
+    # quantization (~2^-9) would swamp the 2e-4 tolerance. Pack quality is
+    # validated separately (tests/test_attr_pack.py + the qproxy_sat run).
+    kw = dict(tile_size=ns.tile_size, chunk=128, pair_budget=budget,
+              attr_pack=False)
 
     def loss_pallas(params, off):
         out = render(cam, g.with_params(params), bg, mean2d_offset=off,
