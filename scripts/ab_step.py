@@ -116,7 +116,8 @@ def main():
         "loss": round(float(loss), 5), "pairs": int(np_p), "kept": kept,
         "contrib": contrib, "chunk": chunk,
         "trans": os.environ.get("GSPLAT_TRANS", "prod"),
-        "pack": pack, "dg_comp": os.environ.get("GSPLAT_DG_COMP", "0"),
+        "pack": pack, "dg_comp": os.environ.get("GSPLAT_DG_COMP", "1"),
+        "split_terms": os.environ.get("GSPLAT_SPLIT_TERMS", "2"),
         "compile_s": round(compile_s, 1),
     }))
 
