@@ -243,12 +243,16 @@ assert _TRANS_MODE in ("log", "prod"), _TRANS_MODE
 # activation semantics). attr_pack is a real parameter (not a frozen env
 # read) so tests A/B it in-process.
 #
-# Default "auto" (round 4): ON for the compiled TPU path (A/B: 183.9 -> 179.6
-# ms synced, 162.8 -> 151.5 pipelined on the sparse kept profile;
-# quality-validated by the artifacts/qproxy_sat 30k run), OFF in interpret
-# mode so CPU tests and the jnp oracle stay exact-f32. GSPLAT_PACK=0/1
-# forces either way.
-_PACK_ENV = _os.environ.get("GSPLAT_PACK", "auto")
+# Default OFF (round-4 final): the A/B win is real (183.9 -> 179.6 ms synced,
+# 162.8 -> 151.5 pipelined on the sparse kept profile) but the QUALITY gate
+# failed — the quality-proxy schedule with pack+SPLIT_TERMS=2+DG_COMP all on
+# measured test PSNR 33.87 @1k vs 38.63 at the r3 defaults (4.8 dB down).
+# Pack is the implicated lever (the only one touching forward VALUES, at
+# ~2^-9 vs the others' 2^-17/2^-18 on gradients; the split2+dgcomp-only
+# rerun is the control — see BASELINE.md round-4 notes). Packed stays a
+# supported opt-in (GSPLAT_PACK=1, or "auto" = on-TPU-only) for
+# inference/serving paths where the table is read-only.
+_PACK_ENV = _os.environ.get("GSPLAT_PACK", "0")
 _PACK_DEFAULT = None if _PACK_ENV == "auto" else _PACK_ENV == "1"
 PACKED_IN_DIM = 8
 # packed input row layout (8 rows x P):
