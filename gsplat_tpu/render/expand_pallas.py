@@ -132,7 +132,11 @@ def _expand_kernel(
             return acc
 
         count = jnp.zeros((MB_ROWS, 128), jnp.int32)
-        step = 1024  # next pow2 >= WIN
+        # Starting step 1024 suffices because reachable counts lie in
+        # [0, 2047] (2048 = 2*1024 - 1 covers any count expressible by the
+        # descending power-of-2 search), and 2047 >= WIN. If WIN ever grows
+        # past 2047, this start step must grow with it.
+        step = 1024
         while step >= 1:
             probe = count + step - 1
             ok = probe < WIN

@@ -194,9 +194,11 @@ _PRECISION_MODE = _os.environ.get("GSPLAT_MATMUL_PRECISION", "split")
 # SPLIT_TERMS=2 (round-4 default flip): 2-term bf16 splits reach ~2^-16
 # input error — one MXU pass fewer per _dgx than the round-2 3-term form.
 # A/B on the v5e sparse kept profile (with DG_COMP=1): 183.9 -> 174.1 ms
-# synced, 162.8 -> 147.8 pipelined. Quality-validated together with DG_COMP
-# by the artifacts/qproxy_sat 30k run (test PSNR matches the 3-term r3
-# artifact's milestones).
+# synced, 162.8 -> 147.8 pipelined. Quality evidence: the complete
+# 1000-iteration control run artifacts/qproxy_ctrl/ (split2+dgcomp, pack
+# off) matches the r3-defaults loss trajectory to 4 decimals and its
+# test-PSNR gate (38.64 @1k vs 38.63); the full-30k artifact at these
+# defaults is artifacts/qproxy_sat30/ (see its README for status).
 SPLIT_TERMS = int(_os.environ.get("GSPLAT_SPLIT_TERMS", "2"))
 # All precision/shape knobs freeze at IMPORT (like _PRECISION_MODE): jit caches
 # do not key on env vars, so a post-trace toggle would silently do nothing.
@@ -314,16 +316,19 @@ def _dg(a, b, ca, cb, comp_ok: bool = False):
     input precision per the mode — see note above). In split mode this is the
     fallback for matmuls with NO bf16-exact operand (rgb@w, d_rgb).
 
-    GSPLAT_DG_COMP=1 (experimental, measured-only): replace HIGHEST's 6-pass
-    synthesis with a 4-pass compensated product — a_hi(bf16) against the
-    3-term bf16 expansion of b, plus one 1-pass correction (a - a_hi) @ b.
+    GSPLAT_DG_COMP=1 (the round-4 default): replace HIGHEST's 6-pass
+    synthesis with a compensated product — a_hi(bf16) against the
+    SPLIT_TERMS-term bf16 expansion of b, plus one 1-pass correction
+    (a - a_hi) @ b.
     Input-error class ~2^-18 (vs ~2^-24): the residual a_lo*b_err cross term
     is bounded by |a| 2^-9 * |b| 2^-9. Only sanctioned for the image/d_rgb
     accumulations whose operands are O(1) weights, which pass comp_ok=True;
     every other callsite (notably the _dgx exact_ok=False fallback, whose
     pixel-basis operands are large at tile_size > 32) stays HIGHEST even with
-    the flag on. OFF by default until a long training run validates it (bf16
-    1-pass was observed to diverge)."""
+    the flag on. Quality evidence: the artifacts/qproxy_ctrl 1k control run
+    (split2+dgcomp) matches the r3-defaults trajectory to 4 decimals; bf16
+    1-pass (no compensation) was observed to diverge. GSPLAT_DG_COMP=0
+    restores HIGHEST."""
     if _PRECISION_MODE == "split" and _DG_COMP and comp_ok:
         a_hi = a.astype(jnp.bfloat16)
         out = None

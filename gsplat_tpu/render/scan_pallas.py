@@ -49,7 +49,8 @@ def _scan_kernel(x_ref, out_ref, carry_ref, *, bias, clip_hi, n_rows):
 
     # in-block inclusive prefix: lane prefix via a (128,128) triangular
     # matmul, then row offsets via a strict-lower-triangular matmul over the
-    # row totals. All values <= 2^16 so f32 accumulation is exact.
+    # row totals. Inputs are <= 255, so per-lane row sums reach 255*128 =
+    # 32640 and block partials 255*512*128 < 2^24 — exact in f32.
     li = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     lj = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
     tri = (li <= lj).astype(jnp.float32)                     # inclusive
