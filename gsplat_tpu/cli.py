@@ -27,7 +27,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         "jax_compilation_cache_dir",
         os.environ.get("GSPLAT_CACHE_DIR", "/tmp/jax_cache_gsplat"),
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # GSPLAT_CACHE_MIN_SECS=0 lets cache probes persist sub-second CPU
+    # compiles (scripts/cache_probe.py); default 1.0 skips trivial entries
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        float(os.environ.get("GSPLAT_CACHE_MIN_SECS", "1.0")),
+    )
+    # GSPLAT_FORCE_PLATFORM=cpu forces the CPU backend even under the axon
+    # sitecustomize (which overrides the JAX_PLATFORMS env var via a config
+    # update, so the env var alone cannot) — used by scripts/cache_probe.py
+    forced = os.environ.get("GSPLAT_FORCE_PLATFORM", "")
+    if forced:
+        jax.config.update("jax_platforms", forced)
 
     model, opt, pipe, other, mesh = parse_parameters(argv)
 

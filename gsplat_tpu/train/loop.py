@@ -750,12 +750,16 @@ def train(
                 evaluate(scene, to_host_view(g), bg, opt, mesh, printer,
                          iteration, metrics, pair_budget=pair_budget)
 
-            if iteration in other.save_iterations and is_main:
-                printer.print(f"[iter {iteration}] saving point cloud")
-                save_ply(
-                    Path(out_dir) / "point_cloud" / f"iteration_{iteration}" / "point_cloud.ply",
-                    to_host_view(g),
-                )
+            if iteration in other.save_iterations:
+                # the sharded gather is a COLLECTIVE — every process must run
+                # it in lockstep; only process 0 then writes the file
+                g_save = to_host_view(g)
+                if is_main:
+                    printer.print(f"[iter {iteration}] saving point cloud")
+                    save_ply(
+                        Path(out_dir) / "point_cloud" / f"iteration_{iteration}" / "point_cloud.ply",
+                        g_save,
+                    )
 
             # --- densification (upstream schedule; reference params.h:50-91) ---
             if iteration < opt.densify_until_iter:
@@ -799,13 +803,15 @@ def train(
 
             # checkpoint LAST within the iteration (upstream train.py order:
             # after densify + optimizer step) so resume at iteration+1 is exact
-            if iteration in other.checkpoint_iterations and is_main:
-                printer.print(f"[iter {iteration}] saving checkpoint")
+            if iteration in other.checkpoint_iterations:
+                # gather on ALL processes (collective), write on process 0
                 g_ck, opt_ck = to_host_view(g, opt_state)
-                save_checkpoint(
-                    Path(out_dir) / f"chkpnt{iteration}.npz", g_ck, opt_ck,
-                    iteration, extra=loop_extras(),
-                )
+                if is_main:
+                    printer.print(f"[iter {iteration}] saving checkpoint")
+                    save_checkpoint(
+                        Path(out_dir) / f"chkpnt{iteration}.npz", g_ck, opt_ck,
+                        iteration, extra=loop_extras(),
+                    )
 
     except KeyboardInterrupt:
         # interrupt recovery (SURVEY.md §5 'Failure detection' row): persist an

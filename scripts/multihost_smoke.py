@@ -5,7 +5,11 @@ owns 4 virtual CPU devices; the global mesh is data=4 x tile=2 over 8 devices.
 Drives the REAL CLI (`gsplat_tpu.cli.main`) end-to-end — the same command a pod
 slice would run, plus --num_processes/--process_id/--coordinator_address.
 
-usage: python scripts/multihost_smoke.py <pid> <nproc> <port> <scene> <out>
+usage: python scripts/multihost_smoke.py <pid> <nproc> <port> <scene> <out> [extra CLI flags...]
+
+Extra flags are appended after the baseline set (argparse last-wins), so the
+sharded-Gaussians variant is the same script plus `--shard_gaussians
+--iterations 6 --densify_from_iter 1 ...` (tests/test_multihost.py).
 """
 
 import os
@@ -32,6 +36,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 def main() -> int:
     pid, nproc, port, scene, out = sys.argv[1:6]
+    extra = sys.argv[6:]
 
     from gsplat_tpu.cli import main as cli_main
 
@@ -45,7 +50,7 @@ def main() -> int:
         "--coordinator_address", f"localhost:{port}",
         "--densify_from_iter", "100",
         "--test_iterations", "--save_iterations", "--quiet",
-    ]
+    ] + extra
     rc = cli_main()
 
     # post-conditions: the global runtime really was nproc processes over the
