@@ -412,6 +412,11 @@ def main():
         "metric": "pixels_per_s_per_chip_fwd_bwd_1M_gaussians_1080p"
                   if on_tpu else "pixels_per_s_cpu_smoke",
         "value": head_pix,
+        # metric continuity (VERDICT r4 weak #5): `value` is the PIPELINED
+        # training throughput since r4; both definitions ride explicit fields
+        # so cross-round series stay like-for-like (r1-r3 `value` == synced).
+        "value_pipelined": head_pix,
+        "value_synced": sparse["best_pix_per_s"],
         "unit": "pixels/s",
         "vs_baseline": round(vs, 4),
         "train_step_ms": sparse["train_step_ms"],
