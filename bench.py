@@ -32,6 +32,9 @@ jax.config.update(
     ),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from gsplat_tpu.cache_keys import install_stable_kernel_keys
+
+install_stable_kernel_keys()  # line-number-independent kernel cache keys
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

@@ -40,6 +40,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     if forced:
         jax.config.update("jax_platforms", forced)
 
+    # source-line-independent Pallas kernel payloads: without this, editing
+    # any file above a pallas_call in the call stack silently changes every
+    # kernel-bearing executable's persistent cache key (gsplat_tpu/cache_keys)
+    from gsplat_tpu.cache_keys import install_stable_kernel_keys
+
+    install_stable_kernel_keys()
+
     model, opt, pipe, other, mesh = parse_parameters(argv)
 
     # multi-device runs: let XLA hide the grad all-reduce behind backward

@@ -54,7 +54,13 @@ class Camera:
 
 def _camera_flatten(c: Camera):
     children = (c.world_view, c.full_proj, c.cam_center, c.tan_fovx, c.tan_fovy, c.image)
-    aux = (c.width, c.height, c.image_name, c.uid)
+    # aux holds ONLY the static shape: jit signatures key on the treedef, so
+    # per-camera METADATA here (image_name/uid, as in rounds 1-4) makes every
+    # distinct camera a fresh trace + compile of byte-identical IR — measured
+    # as 6 identical 'jit_eval_step' tunnel compiles per eval pass (round 5).
+    # Metadata stays on the object; cameras reconstructed from a jit/tree
+    # round-trip carry the defaults ("" / 0).
+    aux = (c.width, c.height)
     return children, aux
 
 

@@ -66,6 +66,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         os.environ.get("GSPLAT_CACHE_DIR", "/tmp/jax_cache_gsplat"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from gsplat_tpu.cache_keys import install_stable_kernel_keys
+
+    install_stable_kernel_keys()  # line-number-independent kernel cache keys
 
     from gsplat_tpu.config import MeshParams, ModelParams
     from gsplat_tpu.scene import Scene

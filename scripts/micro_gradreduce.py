@@ -29,6 +29,9 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_micro")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from gsplat_tpu.cache_keys import install_stable_kernel_keys
+
+install_stable_kernel_keys()  # line-number-independent kernel cache keys
 
 import jax.numpy as jnp
 import numpy as np
