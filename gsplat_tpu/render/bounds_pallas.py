@@ -25,8 +25,6 @@ single 1-D input — probing (and dodging) the XLA memory-space cascade its
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -81,139 +79,6 @@ def _ends_kernel(qb_ref, keys_hbm, out_ref, buf, sems):
 
     acc = jax.lax.fori_loop(0, nch, body, jnp.zeros((GB, 1), jnp.int32))
     out_ref[...] = qb_ref[k] + acc
-
-
-def _sums_kernel(qb_ref, keys_hbm, d_hbm, out_ref, kbuf, dbuf, ksems, dsems,
-                 *, terms: int):
-    """Per-Gaussian SUMS of the sorted d-rows, in the same windowed sweep as
-    _ends_kernel: hit(GB, 128) = (key == gid) equality masks (0/1, bf16-exact)
-    feed MXU matmuls against the d-table's 128-column slices, accumulating
-    (GB, 16) per block. d values split into `terms` bf16 terms (3 covers the
-    f32 mantissa — raster_pallas._dgx's exact-side trick)."""
-    k = pl.program_id(0)
-    lo = qb_ref[k]
-    hi = qb_ref[k + 1]
-    a_key = (lo // PC) * PC
-    nch = (hi - a_key + PC - 1) // PC
-    a_row = pl.multiple_of(a_key // 128, PC // 128)
-
-    def kdma(slot, j):
-        return pltpu.make_async_copy(
-            keys_hbm.at[pl.ds(a_row + j * (PC // 128), PC // 128), :],
-            kbuf.at[slot], ksems.at[slot],
-        )
-
-    def ddma(slot, j):
-        return pltpu.make_async_copy(
-            d_hbm.at[:, pl.ds((a_row + j * (PC // 128)) * 128, PC)],
-            dbuf.at[slot], dsems.at[slot],
-        )
-
-    @pl.when(nch > 0)
-    def _():
-        kdma(0, 0).start()
-        ddma(0, 0).start()
-
-    g0 = (k * GB).astype(jnp.float32)
-    gcol = g0 + jax.lax.broadcasted_iota(jnp.int32, (GB, 1), 0).astype(
-        jnp.float32
-    )
-    eye = (
-        jax.lax.broadcasted_iota(jnp.int32, (16, 16), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (16, 16), 1)
-    ).astype(jnp.float32)
-
-    def body(j, acc):
-        slot = j % 2
-
-        @pl.when(j + 1 < nch)
-        def _():
-            kdma((j + 1) % 2, j + 1).start()
-            ddma((j + 1) % 2, j + 1).start()
-
-        kdma(slot, j).wait()
-        ddma(slot, j).wait()
-        d_c = dbuf[slot]                                   # (16, PC)
-        for r in range(PC // 128):
-            keys_r = kbuf[slot][r:r + 1, :]                # (1, 128)
-            hit = (keys_r == gcol).astype(jnp.bfloat16)    # (GB, 128) 0/1
-            # d sub-block (16, 128) -> (128, 16) via one identity matmul
-            # (Mosaic-safe transpose), then bf16-term accumulation on the MXU
-            d128 = jax.lax.dot_general(
-                d_c[:, r * 128:(r + 1) * 128], eye,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                              # (128, 16)
-            rem = d128
-            for t in range(terms):
-                h = rem.astype(jnp.bfloat16)
-                acc = acc + jax.lax.dot_general(
-                    hit, h, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                if t + 1 < terms:
-                    rem = rem - h.astype(jnp.float32)
-        return acc
-
-    acc = jax.lax.fori_loop(
-        0, nch, body, jnp.zeros((GB, 16), jnp.float32)
-    )
-    out_ref[...] = acc
-
-
-def segment_sums(key_s: jnp.ndarray, d16: jnp.ndarray, n: int, *,
-                 terms: int = 3, interpret: bool = False) -> jnp.ndarray:
-    """key_s (P,) f32 sorted integer-valued gid keys; d16 (16, P) the sorted
-    d-table in row layout (row i = sorted_ops[i+1]) -> (n, 16) per-Gaussian
-    sums: out[g] = sum of d16[:, j] over j with key_s[j] == g.
-
-    Replaces the XLA cumsum-table + segment_ends + S[ends]-gather + diff
-    chain of render._rasterize_bwd with ONE windowed pass (VERDICT r4 ask #4).
-    Two budget-long HBM operands (the keys + the d-table) — within the
-    empirical 1-3-operand cascade-free envelope (BASELINE.md rounds 3-4).
-    Summation is MXU equality-matmuls with `terms` bf16 splits of d (3 terms
-    cover the f32 mantissa); order differs from the cumsum-diff path by f32
-    rounding only. n must be a multiple of GB, P of 128."""
-    (p,) = key_s.shape
-    assert d16.shape == (16, p), (d16.shape, p)
-    assert n % GB == 0 and p % 128 == 0, (n, p)
-    nb = n // GB
-    qb = jnp.searchsorted(
-        key_s, (jnp.arange(nb + 1, dtype=jnp.int32) * GB).astype(jnp.float32),
-        side="left",
-    ).astype(jnp.int32)
-
-    keys2d = jnp.pad(
-        key_s.reshape(p // 128, 128), ((0, PC // 128), (0, 0)),
-        constant_values=_PAD_KEY,
-    )
-    d16p = jnp.pad(d16, ((0, 0), (0, PC)))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((GB, 16), lambda k, *_: (k, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, PC // 128, 128), jnp.float32),
-            pltpu.VMEM((2, 16, PC), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    return pl.pallas_call(
-        functools.partial(_sums_kernel, terms=terms),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, 16), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )(qb, keys2d, d16p)
 
 
 def segment_ends(key_s: jnp.ndarray, n: int, *,

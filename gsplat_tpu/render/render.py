@@ -160,65 +160,56 @@ def _rasterize_bwd(static, res, g):
     # cascade-free only with very few budget-long HBM operands
     # (bounds/compact/expand take 1-3). Both kernels are deleted; a row
     # scatter-add replacement loses 4x (scripts/micro_gradreduce.py).
+    # DESIGN NOTE (round 5, third and FINAL attempt at fusing this block into
+    # a Pallas kernel): a windowed equality-matmul kernel emitting the
+    # per-Gaussian sums directly from the sorted d-rows, with only TWO
+    # budget-long HBM operands (the key row + ONE (16, P) stacked d-table,
+    # built by cheap contiguous axis-0 stacking) — i.e. inside what looked
+    # like the cascade-free envelope — STILL triggered the XLA memory-space
+    # cascade: sparse kept step 172.3 -> 367.3 ms (ab_step, r5). With segred
+    # (r3, one (16,P) operand) and segsum (r4, ten 1-D operands) that makes
+    # three shapes of the same kernel, all cascading; bounds/compact/expand
+    # (1-3 ONE-DIMENSIONAL budget-long operands) stay clean. Refined rule:
+    # a budget-long TWO-DIMENSIONAL operand into a Pallas call flips MSA
+    # here regardless of operand count. The kernel was deleted; this XLA
+    # chain (sort + 16-wide cumsum table + boundary kernel + row gather +
+    # diff) is the shipped form.
+    d_sorted = jnp.stack(
+        sorted_ops[1:]
+        + (ATTR_DIM - N_DCOLS) * (jnp.zeros_like(key_s),),
+        axis=1,
+    )                                                       # (c_budget, 16)
+    S = jnp.concatenate(
+        [jnp.zeros((1, ATTR_DIM), d_sorted.dtype),
+         jnp.cumsum(d_sorted, axis=0)],
+        axis=0,
+    )
+    # boundary positions: the windowed-count Pallas kernel replaces
+    # searchsorted's query-into-key sort (prep fusion 12.3 + 2-op sort 5.8 ms
+    # at the sparse bench) with a coarse 1k-query bracket + one DMA sweep of
+    # the key row (bounds_pallas). GSPLAT_ENDS=xla keeps the fallback, which
+    # also covers interpret mode and unaligned capacities.
     import os as _os
 
     from gsplat_tpu.render.bounds_pallas import GB as _ENDS_GB
-    from gsplat_tpu.render.bounds_pallas import segment_ends, segment_sums
+    from gsplat_tpu.render.bounds_pallas import segment_ends
 
-    # default stays "table" until the on-chip A/B clears the sums kernel of
-    # the segred/segsum memory-space cascade (BASELINE.md rounds 3-4)
-    gradred = _os.environ.get("GSPLAT_GRADRED", "table")
-    if (not interpret and n_gauss % _ENDS_GB == 0 and gradred == "sums"):
-        # ONE windowed Pallas pass emits the per-Gaussian sums directly from
-        # the sorted d-rows (VERDICT r4 ask #4): no cumsum table, no boundary
-        # positions, no S[ends] row gather, no adjacent difference. The
-        # d-table rides as (16, P) — 10 CONTIGUOUS row copies (a cheap stack
-        # along axis 0, unlike the old (P, 16) interleave) — and the kernel
-        # takes 2 budget-long HBM operands (keys + d-table), inside the
-        # empirical cascade-free envelope (the deleted segsum kernel took 10,
-        # the deleted segred one stacked (16, P) PLUS per-row outputs; see
-        # the design note above). Summation order differs from the cumsum
-        # path by f32 rounding only (bf16 3-term exact-split matmuls).
-        d16 = jnp.stack(
-            sorted_ops[1:]
-            + (ATTR_DIM - N_DCOLS) * (jnp.zeros_like(key_s),),
-            axis=0,
-        )                                                   # (16, c_budget)
-        sums = segment_sums(key_s, d16, n_gauss, interpret=interpret)
-        d_live = sums[:, :N_DCOLS] * scale
+    if (not interpret and n_gauss % _ENDS_GB == 0
+            and _os.environ.get("GSPLAT_ENDS", "pallas") != "xla"):
+        ends = segment_ends(key_s, n_gauss, interpret=interpret)
     else:
-        d_sorted = jnp.stack(
-            sorted_ops[1:]
-            + (ATTR_DIM - N_DCOLS) * (jnp.zeros_like(key_s),),
-            axis=1,
-        )                                                   # (c_budget, 16)
-        S = jnp.concatenate(
-            [jnp.zeros((1, ATTR_DIM), d_sorted.dtype),
-             jnp.cumsum(d_sorted, axis=0)],
-            axis=0,
+        # method='sort': the default 'scan' binary search runs log2(P) rounds
+        # of N-element gathers (~157 ms at N=1M on v5e — gathers price at
+        # latency); one extra 2-operand sort over keys+queries costs ~7 ms
+        ends = jnp.searchsorted(
+            key_s, jnp.arange(1, n_gauss + 1, dtype=jnp.int32)
+            .astype(jnp.float32), side="left", method="sort",
         )
-        # boundary positions: the windowed-count Pallas kernel replaces
-        # searchsorted's query-into-key sort (prep fusion 12.3 + 2-op sort
-        # 5.8 ms at the sparse bench) with a coarse 1k-query bracket + one
-        # DMA sweep of the key row (bounds_pallas). GSPLAT_ENDS=xla keeps the
-        # fallback, which also covers interpret mode / unaligned capacities.
-        if (not interpret and n_gauss % _ENDS_GB == 0
-                and _os.environ.get("GSPLAT_ENDS", "pallas") != "xla"):
-            ends = segment_ends(key_s, n_gauss, interpret=interpret)
-        else:
-            # method='sort': the default 'scan' binary search runs log2(P)
-            # rounds of N-element gathers (~157 ms at N=1M on v5e — gathers
-            # price at latency); one extra 2-operand sort over keys+queries
-            # costs ~7 ms
-            ends = jnp.searchsorted(
-                key_s, jnp.arange(1, n_gauss + 1, dtype=jnp.int32)
-                .astype(jnp.float32), side="left", method="sort",
-            )
-        T_b = S[ends][:, :N_DCOLS]                          # (N, 9)
-        d_live = T_b - jnp.concatenate(
-            [jnp.zeros((1, N_DCOLS), T_b.dtype), T_b[:-1]], axis=0
-        )
-        d_live = d_live * scale
+    T_b = S[ends][:, :N_DCOLS]                              # (N, 9)
+    d_live = T_b - jnp.concatenate(
+        [jnp.zeros((1, N_DCOLS), T_b.dtype), T_b[:-1]], axis=0
+    )
+    d_live = d_live * scale
     d_attrs = jnp.concatenate(
         [d_live, jnp.zeros((n_rows - d_live.shape[0], N_DCOLS), d_live.dtype)],
         axis=0,
