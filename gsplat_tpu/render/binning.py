@@ -289,7 +289,7 @@ def _expand_fused(
     window bases, the kernel does everything per-pair (including the
     pair->row resolution, by binary search of the table's offset column).
     Bit-identical to _expand_xla."""
-    from gsplat_tpu.render.expand_pallas import WIN, expand_pairs
+    from gsplat_tpu.render.expand_pallas import MB_PAIRS, WIN, expand_pairs
 
     db = depth_shift(num_tiles)
     live = counts > 0
@@ -342,13 +342,13 @@ def _expand_fused(
     # after both, so it carries INT32_MAX instead of the pad zeros
     cols_t = cols_t.at[-1, n:].set(jnp.iinfo(jnp.int32).max)
 
-    # per-micro-block window bases: the row owning each 1024-pair block's
-    # first pair, #{csl <= p} - form. ~S/1024 queries (tiny next to the
+    # per-micro-block window bases: the row owning each MB_PAIRS-pair block's
+    # first pair, #{csl <= p} - form. ~S/MB_PAIRS queries (tiny next to the
     # pair-long marks scatter + prefix scan this replaces — 8.8 ms at the
     # sparse bench); method='sort' (the 'scan' binary search would pay
     # log2(n) gather rounds).
-    nmb = -(-pair_budget // 1024)
-    qs = jnp.arange(nmb, dtype=jnp.int32) * 1024
+    nmb = -(-pair_budget // MB_PAIRS)
+    qs = jnp.arange(nmb, dtype=jnp.int32) * MB_PAIRS
     bases = jnp.searchsorted(csl, qs, side="right", method="sort").astype(
         jnp.int32
     )

@@ -33,7 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 import os as _os
 
 GB = int(_os.environ.get("GSPLAT_ENDS_GB", "1024"))  # gids per grid block
-PC = 1024          # keys per DMA chunk (PC // 128 rows of 128 lanes)
+# keys per DMA chunk (PC // 128 rows of 128 lanes). The sweep is DMA-count
+# bound at the sparse bench (the per-chunk compare work is ~1 ms VPU-class);
+# larger chunks amortize the per-DMA latency — env lever for on-chip A/B.
+PC = int(_os.environ.get("GSPLAT_ENDS_PC", "1024"))
+assert PC % 128 == 0 and PC > 0, PC
 _PAD_KEY = float(1 << 30)  # never matches any gid's value window
 
 

@@ -11,14 +11,14 @@ absent, SURVEY.md §1 L2.5; upstream CUDA 3DGS does this with duplicateWithKeys
 + global atomics, which TPUs don't have):
 
 - XLA precomputes only the per-micro-block window BASES (one small
-  `searchsorted` of the 1024-pair block boundaries into the live cumulative
-  counts — ~S/1024 queries). Because the table is live-compacted (every row
-  has >= 1 pair), a 1024-pair micro-block touches at most 1025 consecutive
-  table rows.
-- The kernel walks (128,128)-pair blocks; for each 1024-pair micro-block it
-  DMAs the (NC, 1280) column window starting at the micro-block's base
+  `searchsorted` of the MB_PAIRS-pair block boundaries into the live
+  cumulative counts — ~S/MB_PAIRS queries). Because the table is
+  live-compacted (every row has >= 1 pair), a K-pair micro-block touches at
+  most K+1 consecutive table rows.
+- The kernel walks (128,128)-pair blocks; for each MB_PAIRS-pair micro-block
+  it DMAs the (NC, WIN) column window starting at the micro-block's base
   Gaussian (128-aligned), resolves each pair's row by a BINARY SEARCH of the
-  window's sorted offset column (11 rounds of 128-lane `dynamic_gather`s —
+  window's sorted offset column (log2-rounds of 128-lane `dynamic_gather`s —
   replacing the round-3 design's pair-long `gid_c` map, whose segment-start
   marks scatter alone cost 8.8 ms at the sparse bench), and resolves every
   per-pair column value with 128-lane `dynamic_gather`s + selects — no
@@ -41,12 +41,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# pairs per grid step = MB_ROWS*128 per micro-block * N_MICRO
-N_MICRO = 16
-MB_ROWS = 8            # micro-block rows of 128 lanes -> 1024 pairs
-BLOCK_PAIRS = N_MICRO * MB_ROWS * 128     # 16384
-WIN = 1280             # window lanes: 127 (align) + 1025 (max span) <= 1280
+import os as _os
+
+# Micro-block size (pairs per window DMA + search batch). The kernel's cost
+# is dominated by the in-kernel binary search and the per-column dynamic
+# gathers, BOTH proportional to N_CHUNKS (window lanes / 128) and the search
+# to log2(window) rounds — while total DMA bytes are invariant (each window
+# covers its micro-block's rows exactly once). Smaller micro-blocks therefore
+# shrink the dominant op counts superlinearly: MB_ROWS=8 -> 10-chunk window,
+# 11 search rounds; MB_ROWS=2 -> 3 chunks, 9 rounds (~3.7x fewer gather ops)
+# at 4x the (cheap, 18 KB) DMA waits. A micro-block of K pairs spans at most
+# K+1 live table rows (every live row owns >= 1 pair) + 127 alignment lanes,
+# so WIN = K + 128.
+MB_ROWS = int(_os.environ.get("GSPLAT_EXPAND_MB", "8"))
+assert MB_ROWS in (1, 2, 4, 8), MB_ROWS
+MB_PAIRS = MB_ROWS * 128
+BLOCK_PAIRS = 16384                        # pairs per grid step (fixed)
+N_MICRO = BLOCK_PAIRS // MB_PAIRS
+WIN = MB_PAIRS + 128                       # window lanes (multiple of 128)
 N_CHUNKS = WIN // 128
+# descending power-of-2 search start: reachable counts span [0, 2*START-1],
+# which must cover WIN (counts are #{window offsets <= p} <= WIN)
+SEARCH_START = 1 << (WIN.bit_length() - 1)
+assert 2 * SEARCH_START - 1 >= WIN, (SEARCH_START, WIN)
 
 
 def _f32(x):
@@ -132,11 +149,9 @@ def _expand_kernel(
             return acc
 
         count = jnp.zeros((MB_ROWS, 128), jnp.int32)
-        # Starting step 1024 suffices because reachable counts lie in
-        # [0, 2047] (2048 = 2*1024 - 1 covers any count expressible by the
-        # descending power-of-2 search), and 2047 >= WIN. If WIN ever grows
-        # past 2047, this start step must grow with it.
-        step = 1024
+        # reachable counts lie in [0, 2*SEARCH_START - 1] >= WIN (asserted at
+        # module top), covering every count the window can produce
+        step = SEARCH_START
         while step >= 1:
             probe = count + step - 1
             ok = probe < WIN
@@ -203,7 +218,7 @@ def _expand_kernel(
 
 def expand_pairs(
     cols_t: jnp.ndarray,     # (NC, n_pad) int32 live-compacted column table
-    bases: jnp.ndarray,      # (ceil(S/1024),) int32 micro-block base row ids
+    bases: jnp.ndarray,      # (ceil(S/MB_PAIRS),) int32 micro-block base rows
     total: jnp.ndarray,      # () int32 live pair count
     S: int,                  # pair slots (multiple of 128)
     *,

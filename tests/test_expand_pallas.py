@@ -141,3 +141,37 @@ def test_bin_gaussians_fused_vs_fallback():
             err_msg=name,
         )
     assert int(b_fused.n_culled) > 0
+
+
+def test_fused_matches_xla_small_microblocks():
+    """GSPLAT_EXPAND_MB=2 (the round-5 window-shrink lever) must stay
+    bit-identical to the XLA oracle. Runs in a subprocess: the micro-block
+    constants freeze at import."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "jax.config.update('jax_compilation_cache_dir','/tmp/jax_cache_tests');"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs',0.0);"
+        "jax.config.update('jax_persistent_cache_min_entry_size_bytes',0);"
+        "import sys; sys.path[:0]=[%r,%r];"
+        "from gsplat_tpu.render import expand_pallas as ep;"
+        "assert ep.MB_ROWS == 2 and ep.WIN == 384, (ep.MB_ROWS, ep.WIN);"
+        "from test_expand_pallas import both_paths;"
+        "import numpy as np;"
+        "k1,g1,k2,g2 = both_paths(400, 3, 4096, True, sat_pack=True);"
+        "np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2));"
+        "np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2));"
+        "print('MB2 parity OK')"
+    ) % (str(repo), str(repo / "tests"))
+    import os
+
+    env = dict(os.environ, GSPLAT_EXPAND_MB="2")
+    p = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=900,
+                       cwd=str(repo))
+    assert p.returncode == 0 and "MB2 parity OK" in p.stdout, (
+        p.stdout[-2000:], p.stderr[-3000:])
