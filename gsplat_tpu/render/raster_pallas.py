@@ -194,11 +194,12 @@ _PRECISION_MODE = _os.environ.get("GSPLAT_MATMUL_PRECISION", "split")
 # SPLIT_TERMS=2 (round-4 default flip): 2-term bf16 splits reach ~2^-16
 # input error — one MXU pass fewer per _dgx than the round-2 3-term form.
 # A/B on the v5e sparse kept profile (with DG_COMP=1): 183.9 -> 174.1 ms
-# synced, 162.8 -> 147.8 pipelined. Quality evidence: the complete
-# 1000-iteration control run artifacts/qproxy_ctrl/ (split2+dgcomp, pack
-# off) matches the r3-defaults loss trajectory to 4 decimals and its
-# test-PSNR gate (38.64 @1k vs 38.63); the full-30k artifact at these
-# defaults is artifacts/qproxy_sat30/ (see its README for status).
+# synced, 162.8 -> 147.8 pipelined. Quality-validated over the FULL 30k
+# upstream schedule by artifacts/qproxy_sat30/ (round 5; test PSNR
+# 38.65/32.82/31.11/38.05 at 1k/7k/15k/30k vs the r3-defaults artifact's
+# 38.65/32.75/31.23/38.15 — every milestone within run noise), plus the
+# 1k control artifacts/qproxy_ctrl/ matching the r3 loss trajectory to 4
+# decimals.
 SPLIT_TERMS = int(_os.environ.get("GSPLAT_SPLIT_TERMS", "2"))
 # All precision/shape knobs freeze at IMPORT (like _PRECISION_MODE): jit caches
 # do not key on env vars, so a post-trace toggle would silently do nothing.
