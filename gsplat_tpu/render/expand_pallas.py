@@ -64,26 +64,59 @@ N_CHUNKS = WIN // 128
 # which must cover WIN (counts are #{window offsets <= p} <= WIN)
 SEARCH_START = 1 << (WIN.bit_length() - 1)
 assert 2 * SEARCH_START - 1 >= WIN, (SEARCH_START, WIN)
+# window-DMA pipeline depth: the kernel is DMA-LATENCY-bound per micro-block
+# (measured round 5: MB=2's 4x window count took the dense expansion 47.8 ->
+# 129 ms — ~1 us of un-hidden latency per window at 2 slots). NSLOTS=4 keeps
+# 3 windows in flight; VMEM cost NSLOTS * NC * WIN * 4B (~240 KB at 4).
+NSLOTS = int(_os.environ.get("GSPLAT_EXPAND_SLOTS", "2"))
+assert NSLOTS >= 2, NSLOTS
+# SPAN mode (round 5, measured and DEFAULT-OFF): pairs within a micro-block
+# are MONOTONE in table row, so the rows a micro-block touches span exactly
+# [bases[m], bases[m+1]] — on dense scenes (~30 pairs/Gaussian) that is 1-2
+# of the window's 10 chunks, and guarding the binary-search / column-gather
+# chunk loops with lax.cond on the scalar span bounds skips ~85% of the
+# gather work ON PAPER. MEASURED on the dense bench: expansion kernel 47.8
+# -> 92.5 ms — Mosaic lowers each cond as a branch carrying the (8,128)
+# accumulator vreg, and ~110 such branches per micro-block cost ~2x what the
+# skipped gathers save. Correctness is real and CPU-parity-tested (rows
+# below the span default to the correct "offs <= p" decision via acc=0; rows
+# above are excluded by the hi_row probe mask), so the lever stays for
+# re-measurement on other TPU generations: GSPLAT_EXPAND_SPAN=1.
+SPAN = _os.environ.get("GSPLAT_EXPAND_SPAN", "0") == "1"
 
 
 def _f32(x):
     return jax.lax.bitcast_convert_type(x, jnp.float32)
 
 
-def _gather_cols(win_ref, slot, idx, cid, cols):
-    """Resolve window rows for each pair: win_ref (2, NC, WIN) i32 scratch;
+def _guarded(k, c_lo, c_hi, do, acc):
+    """Run `do(acc)` only when chunk k intersects the [c_lo, c_hi] span
+    (scalar bounds; k static). SPAN=0 keeps the loops unconditional."""
+    if not SPAN:
+        return do(acc)
+    return jax.lax.cond((k >= c_lo) & (k <= c_hi), do, lambda a: a, acc)
+
+
+def _gather_cols(win_ref, slot, idx, cid, cols, c_lo, c_hi):
+    """Resolve window rows for each pair: win_ref (NSLOTS, NC, WIN) i32 scratch;
     idx/cid (8,128) lane index / chunk id. Returns {col: (8,128) i32}.
     Slicing the ref per (col, chunk) keeps live vregs small — loading the
-    whole 80 KB window at once would spill."""
+    whole 80 KB window at once would spill. Chunks outside [c_lo, c_hi]
+    cannot be selected (cid lies within the micro-block's row span) and are
+    skipped in SPAN mode."""
     out = {}
     for c in cols:
         acc = jnp.zeros((MB_ROWS, 128), jnp.int32)
         for k in range(N_CHUNKS):
-            chunk = jnp.broadcast_to(
-                win_ref[slot, c:c + 1, 128 * k:128 * (k + 1)], (MB_ROWS, 128)
-            )
-            g_k = jnp.take_along_axis(chunk, idx, axis=1)
-            acc = jnp.where(cid == k, g_k, acc)
+            def do(a, k=k, c=c):
+                chunk = jnp.broadcast_to(
+                    win_ref[slot, c:c + 1, 128 * k:128 * (k + 1)],
+                    (MB_ROWS, 128),
+                )
+                g_k = jnp.take_along_axis(chunk, idx, axis=1)
+                return jnp.where(cid == k, g_k, a)
+
+            acc = _guarded(k, c_lo, c_hi, do, acc)
         out[c] = acc
     return out
 
@@ -110,21 +143,35 @@ def _expand_kernel(
         return pl.multiple_of((base // 128) * 128, 128)
 
     def dma(m):
-        slot = m % 2
+        slot = m % NSLOTS
         return pltpu.make_async_copy(
             cols_hbm.at[:, pl.ds(win_base(m), WIN)], win.at[slot], sems.at[slot]
         )
 
-    dma(0).start()
+    # keep NSLOTS-1 window DMAs in flight (latency hiding — see NSLOTS note)
+    for m0 in range(min(NSLOTS - 1, N_MICRO)):
+        dma(m0).start()
     inv_dq = min(0x7F800000 >> (32 - db), (1 << db) - 1)
     key_invalid = (num_tiles << db) | inv_dq
 
     for m in range(N_MICRO):
-        if m + 1 < N_MICRO:
-            dma(m + 1).start()
+        if m + NSLOTS - 1 < N_MICRO:
+            dma(m + NSLOTS - 1).start()
         dma(m).wait()
         base_al = win_base(m)
-        slot = m % 2
+        slot = m % NSLOTS
+
+        # micro-block row span (SPAN mode): pairs are monotone in table row,
+        # so every row this micro-block touches lies in [bases[m],
+        # bases[m+1]] (bases row 1 = the next block's base; its tail pad is
+        # n_pad, clamping hi_row to the whole window — the safe fallback).
+        # Rows BELOW lo_row always satisfy offs <= p (they own earlier
+        # pairs); rows ABOVE hi_row never do — both directions are handled
+        # without gathering them (see gather_off / the ok mask).
+        lo_row = jnp.clip(bases_ref[0, 0, m] - base_al, 0, WIN - 1)
+        hi_row = jnp.clip(bases_ref[0, 1, m] - base_al, 0, WIN - 1)
+        c_lo = lo_row >> 7
+        c_hi = hi_row >> 7
 
         row = jax.lax.broadcasted_iota(jnp.int32, (MB_ROWS, 128), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (MB_ROWS, 128), 1)
@@ -140,12 +187,15 @@ def _expand_kernel(
             lidx = idx_w & 127
             acc = jnp.zeros((MB_ROWS, 128), jnp.int32)
             for k in range(N_CHUNKS):
-                chunk = jnp.broadcast_to(
-                    win[slot, off_c:off_c + 1, 128 * k:128 * (k + 1)],
-                    (MB_ROWS, 128),
-                )
-                g_k = jnp.take_along_axis(chunk, lidx, axis=1)
-                acc = jnp.where(cid_w == k, g_k, acc)
+                def do(a, k=k):
+                    chunk = jnp.broadcast_to(
+                        win[slot, off_c:off_c + 1, 128 * k:128 * (k + 1)],
+                        (MB_ROWS, 128),
+                    )
+                    g_k = jnp.take_along_axis(chunk, lidx, axis=1)
+                    return jnp.where(cid_w == k, g_k, a)
+
+                acc = _guarded(k, c_lo, c_hi, do, acc)
             return acc
 
         count = jnp.zeros((MB_ROWS, 128), jnp.int32)
@@ -154,7 +204,10 @@ def _expand_kernel(
         step = SEARCH_START
         while step >= 1:
             probe = count + step - 1
-            ok = probe < WIN
+            # probes past hi_row must NOT bump the count (their rows own
+            # later pairs); probes below c_lo*128 read acc=0 -> off_p=0 <= p,
+            # the correct "bump" for rows owning earlier pairs
+            ok = (probe < WIN) & (probe <= hi_row) if SPAN else (probe < WIN)
             off_p = gather_off(jnp.where(ok, probe, 0))
             count = jnp.where(ok & (off_p <= p), count + step, count)
             step //= 2
@@ -163,7 +216,7 @@ def _expand_kernel(
         cid = jnp.maximum(lid, 0) >> 7               # arithmetic >> on >= 0
         cid = jnp.where(lid < 0, N_CHUNKS, cid)      # negative -> no chunk
         idx = lid & 127
-        cv = _gather_cols(win, slot, idx, cid, col_ids)
+        cv = _gather_cols(win, slot, idx, cid, col_ids, c_lo, c_hi)
 
         x0y0 = cv[0]
         w = cv[1]
@@ -245,14 +298,21 @@ def expand_pairs(
         nc = cols_t.shape[0]
     rows = S // 128
     grid = pl.cdiv(rows, N_MICRO * MB_ROWS)
-    # per-micro-block window bases ride as a (grid, 8, 128) VMEM block input
-    # (row 0's first N_MICRO lanes hold the bases; the 8-sublane shape is the
-    # Mosaic block-divisibility minimum, and SMEM prefetch would cap the grid)
+    # per-micro-block window bases ride as a (grid, 8, 128) VMEM block input:
+    # sublane row 0 lane m = bases[m], row 1 lane m = bases[m+1] (the NEXT
+    # block's base — the micro-block's row-span upper bound for SPAN mode;
+    # the tail pads with n_pad so the last blocks fall back to the full
+    # window). The 8-sublane shape is the Mosaic block-divisibility minimum,
+    # and SMEM prefetch would cap the grid.
     nmb = grid * N_MICRO
-    bases_blk = jnp.pad(
-        bases.astype(jnp.int32), (0, nmb - bases.shape[0])
-    ).reshape(grid, 1, N_MICRO)
-    bases_blk = jnp.pad(bases_blk, ((0, 0), (0, 7), (0, 128 - N_MICRO)))
+    b_pad = jnp.pad(
+        bases.astype(jnp.int32), (0, nmb + 1 - bases.shape[0]),
+        constant_values=n_pad,
+    )
+    bases_blk = jnp.stack(
+        [b_pad[:nmb], b_pad[1:nmb + 1]], axis=1
+    ).reshape(grid, N_MICRO, 2).transpose(0, 2, 1)
+    bases_blk = jnp.pad(bases_blk, ((0, 0), (0, 6), (0, 128 - N_MICRO)))
 
     kern = functools.partial(
         _expand_kernel, tw=tw, tile_size=tile_size, db=db,
@@ -273,8 +333,8 @@ def expand_pairs(
             pl.BlockSpec(blk, lambda b, *_: (b, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, nc, WIN), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NSLOTS, nc, WIN), jnp.int32),
+            pltpu.SemaphoreType.DMA((NSLOTS,)),
         ],
     )
     key, gid = pl.pallas_call(
