@@ -84,20 +84,34 @@ def main():
                              tile_size=32)
         bg = jnp.zeros(3, jnp.float32)
 
-        # fit the budgets from one probe binning (the trainer's steady state)
+        # fit the budgets from probe binnings (the trainer's steady state):
+        # first the kept count, then the sat survivor count at that kept
+        # budget (the sat machinery needs kept < 2^25 for its exact cumsum)
         @jax.jit
-        def probe(g):
+        def probe1(g):
             p = project_gaussians(g, cam)
             b = bin_gaussians(
                 jax.lax.stop_gradient(p.mean2d), p.radius, p.depth,
                 width=W, height=H, tile_size=32, chunk=128,
                 pair_budget=budget, cull_conic=p.conic, cull_opacity=p.opacity,
-                sat_budget=budget,
+                kept_budget=budget - 128,  # < pair_budget engages the cull
             )
-            return b.n_pairs, b.n_culled, b.n_sat
-        np_, nc_, nsat = (int(x) for x in jax.block_until_ready(probe(g)))
+            return b.n_pairs, b.n_culled
+        np_, nc_ = (int(x) for x in jax.block_until_ready(probe1(g)))
         pair_fit = min(-(-np_ // 128) * 128 + 128, budget)
         kept = -(-(np_ - nc_ + 128) // 128) * 128
+
+        @jax.jit
+        def probe2(g):
+            p = project_gaussians(g, cam)
+            b = bin_gaussians(
+                jax.lax.stop_gradient(p.mean2d), p.radius, p.depth,
+                width=W, height=H, tile_size=32, chunk=128,
+                pair_budget=pair_fit, cull_conic=p.conic,
+                cull_opacity=p.opacity, kept_budget=kept, sat_budget=kept,
+            )
+            return b.n_sat
+        nsat = int(jax.block_until_ready(probe2(g)))
         sat = (-(-nsat // 128) * 128 + 128) if 2 * nsat < (np_ - nc_) else None
         print(f"{name}: pairs {np_} kept {np_-nc_} sat {nsat}",
               file=sys.stderr, flush=True)
