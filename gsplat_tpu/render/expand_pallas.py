@@ -70,18 +70,24 @@ assert 2 * SEARCH_START - 1 >= WIN, (SEARCH_START, WIN)
 # 3 windows in flight; VMEM cost NSLOTS * NC * WIN * 4B (~240 KB at 4).
 NSLOTS = int(_os.environ.get("GSPLAT_EXPAND_SLOTS", "2"))
 assert NSLOTS >= 2, NSLOTS
-# SPAN mode (round 5, measured and DEFAULT-OFF): pairs within a micro-block
-# are MONOTONE in table row, so the rows a micro-block touches span exactly
-# [bases[m], bases[m+1]] — on dense scenes (~30 pairs/Gaussian) that is 1-2
-# of the window's 10 chunks, and guarding the binary-search / column-gather
-# chunk loops with lax.cond on the scalar span bounds skips ~85% of the
-# gather work ON PAPER. MEASURED on the dense bench: expansion kernel 47.8
-# -> 92.5 ms — Mosaic lowers each cond as a branch carrying the (8,128)
-# accumulator vreg, and ~110 such branches per micro-block cost ~2x what the
-# skipped gathers save. Correctness is real and CPU-parity-tested (rows
-# below the span default to the correct "offs <= p" decision via acc=0; rows
-# above are excluded by the hi_row probe mask), so the lever stays for
-# re-measurement on other TPU generations: GSPLAT_EXPAND_SPAN=1.
+# SPAN mode (round 5): pairs within a micro-block are MONOTONE in table row,
+# so the rows a micro-block touches span exactly [bases[m], bases[m+1]] — on
+# dense scenes (~30 pairs/Gaussian) that is 1-2 of the window's 10 chunks.
+# The binary-search and column-gather chunk loops then run as DYNAMIC-bound
+# `lax.fori_loop`s over [c_lo, c_hi] with dynamic VMEM lane slicing
+# (`pl.ds(k*128, 128)` — verified to lower on v5e Mosaic), visiting only the
+# span's chunks. Correctness of the skipped chunks: rows BELOW the span
+# always satisfy offs <= p (their skipped gather defaults to acc=0 ->
+# off_p=0 <= p, the correct "bump"); rows ABOVE it never do (the probe mask
+# excludes them via hi_row).
+#
+# MEASURED AND DEFAULT-OFF (round 5, dense bench, baseline kernel 47.8 ms):
+# per-chunk lax.cond guards -> 92.5 ms (Mosaic branches carrying the
+# accumulator vreg cost ~2x the skipped work); dynamic fori over the span ->
+# 52.9 ms (scalar trip management + dynamic lane slices still beat the
+# saved gathers — a static 128-lane take_along_axis is a native shuffle).
+# The unconditional static loops win on v5e despite doing ~6x the nominal
+# gather work; the lever stays for other TPU generations.
 SPAN = _os.environ.get("GSPLAT_EXPAND_SPAN", "0") == "1"
 
 
@@ -89,34 +95,39 @@ def _f32(x):
     return jax.lax.bitcast_convert_type(x, jnp.float32)
 
 
-def _guarded(k, c_lo, c_hi, do, acc):
-    """Run `do(acc)` only when chunk k intersects the [c_lo, c_hi] span
-    (scalar bounds; k static). SPAN=0 keeps the loops unconditional."""
-    if not SPAN:
-        return do(acc)
-    return jax.lax.cond((k >= c_lo) & (k <= c_hi), do, lambda a: a, acc)
-
-
 def _gather_cols(win_ref, slot, idx, cid, cols, c_lo, c_hi):
     """Resolve window rows for each pair: win_ref (NSLOTS, NC, WIN) i32 scratch;
     idx/cid (8,128) lane index / chunk id. Returns {col: (8,128) i32}.
     Slicing the ref per (col, chunk) keeps live vregs small — loading the
-    whole 80 KB window at once would spill. Chunks outside [c_lo, c_hi]
-    cannot be selected (cid lies within the micro-block's row span) and are
-    skipped in SPAN mode."""
+    whole 80 KB window at once would spill. SPAN mode: chunks outside
+    [c_lo, c_hi] cannot be selected (cid lies within the micro-block's row
+    span), so ONE dynamic fori over the span gathers all columns per chunk."""
+    if SPAN:
+        def body(k, accs):
+            out = []
+            for c, a in zip(cols, accs):
+                chunk = jnp.broadcast_to(
+                    win_ref[slot, c:c + 1, pl.ds(k * 128, 128)],
+                    (MB_ROWS, 128),
+                )
+                g_k = jnp.take_along_axis(chunk, idx, axis=1)
+                out.append(jnp.where(cid == k, g_k, a))
+            return tuple(out)
+
+        init = tuple(
+            jnp.zeros((MB_ROWS, 128), jnp.int32) for _ in cols
+        )
+        accs = jax.lax.fori_loop(c_lo, c_hi + 1, body, init)
+        return dict(zip(cols, accs))
     out = {}
     for c in cols:
         acc = jnp.zeros((MB_ROWS, 128), jnp.int32)
         for k in range(N_CHUNKS):
-            def do(a, k=k, c=c):
-                chunk = jnp.broadcast_to(
-                    win_ref[slot, c:c + 1, 128 * k:128 * (k + 1)],
-                    (MB_ROWS, 128),
-                )
-                g_k = jnp.take_along_axis(chunk, idx, axis=1)
-                return jnp.where(cid == k, g_k, a)
-
-            acc = _guarded(k, c_lo, c_hi, do, acc)
+            chunk = jnp.broadcast_to(
+                win_ref[slot, c:c + 1, 128 * k:128 * (k + 1)], (MB_ROWS, 128)
+            )
+            g_k = jnp.take_along_axis(chunk, idx, axis=1)
+            acc = jnp.where(cid == k, g_k, acc)
         out[c] = acc
     return out
 
@@ -185,17 +196,27 @@ def _expand_kernel(
         def gather_off(idx_w):
             cid_w = idx_w >> 7
             lidx = idx_w & 127
-            acc = jnp.zeros((MB_ROWS, 128), jnp.int32)
-            for k in range(N_CHUNKS):
-                def do(a, k=k):
+            if SPAN:
+                def body(k, a):
                     chunk = jnp.broadcast_to(
-                        win[slot, off_c:off_c + 1, 128 * k:128 * (k + 1)],
+                        win[slot, off_c:off_c + 1, pl.ds(k * 128, 128)],
                         (MB_ROWS, 128),
                     )
                     g_k = jnp.take_along_axis(chunk, lidx, axis=1)
                     return jnp.where(cid_w == k, g_k, a)
 
-                acc = _guarded(k, c_lo, c_hi, do, acc)
+                return jax.lax.fori_loop(
+                    c_lo, c_hi + 1, body,
+                    jnp.zeros((MB_ROWS, 128), jnp.int32),
+                )
+            acc = jnp.zeros((MB_ROWS, 128), jnp.int32)
+            for k in range(N_CHUNKS):
+                chunk = jnp.broadcast_to(
+                    win[slot, off_c:off_c + 1, 128 * k:128 * (k + 1)],
+                    (MB_ROWS, 128),
+                )
+                g_k = jnp.take_along_axis(chunk, lidx, axis=1)
+                acc = jnp.where(cid_w == k, g_k, acc)
             return acc
 
         count = jnp.zeros((MB_ROWS, 128), jnp.int32)
