@@ -43,16 +43,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
 
-# Micro-block size (pairs per window DMA + search batch). The kernel's cost
-# is dominated by the in-kernel binary search and the per-column dynamic
-# gathers, BOTH proportional to N_CHUNKS (window lanes / 128) and the search
-# to log2(window) rounds — while total DMA bytes are invariant (each window
-# covers its micro-block's rows exactly once). Smaller micro-blocks therefore
-# shrink the dominant op counts superlinearly: MB_ROWS=8 -> 10-chunk window,
-# 11 search rounds; MB_ROWS=2 -> 3 chunks, 9 rounds (~3.7x fewer gather ops)
-# at 4x the (cheap, 18 KB) DMA waits. A micro-block of K pairs spans at most
-# K+1 live table rows (every live row owns >= 1 pair) + 127 alignment lanes,
-# so WIN = K + 128.
+# Micro-block size (pairs per window DMA + search batch). A micro-block of K
+# pairs spans at most K+1 live table rows (every live row owns >= 1 pair) +
+# 127 alignment lanes, so WIN = K + 128. Smaller micro-blocks shrink the
+# nominal gather-op counts (fewer window chunks, fewer search rounds) but
+# MEASURED WORSE on v5e (round 5, dense bench, baseline 47.8 ms at
+# MB_ROWS=8): MB_ROWS=2 -> 129 ms — the 4x window count's per-window
+# overhead (DMA issue/wait + the 64-micro-block unroll) dwarfs the saved
+# gathers, which lower as cheap native 128-lane shuffles. Default stays 8.
 MB_ROWS = int(_os.environ.get("GSPLAT_EXPAND_MB", "8"))
 assert MB_ROWS in (1, 2, 4, 8), MB_ROWS
 MB_PAIRS = MB_ROWS * 128
