@@ -38,6 +38,30 @@ def _gaussian_window(size: int, sigma: float) -> jnp.ndarray:
 import os as _os
 
 _BLUR_MODE = _os.environ.get("GSPLAT_BLUR", "matmul")
+# GSPLAT_BLUR_PREC selects the MXU pass count of the banded blur matmuls
+# (frozen at import, like every kernel lever — jit caches do not key on env):
+#   high    — f32 via 3 bf16 passes (~2^-16 class; XLA's F32_AS_BF16_3X) —
+#             the round-5 default
+#   highest — f32 via 6 bf16 passes (~2^-24 class) — the pre-r5 form.
+# The one-sided split trick from raster_pallas does not apply (neither the
+# Gaussian band matrix nor the image is bf16-exact), but 3-pass HIGH lands in
+# the same input-error class as the quality-gated DG_COMP gradient
+# accumulations (~2^-17), and the SSIM terms feed only the loss scalar —
+# forward image VALUES (the pack gate's failure mode) are untouched.
+# A/B on the v5e sparse bench step (round 5): 171.6 -> 165.1 ms synced,
+# 149.1 -> 142.9 pipelined. Quality gate: artifacts/qproxy_blurhigh (1k
+# control, this lever only) — loss trajectory inside qproxy_ctrl's own
+# rerun scatter at every 100-step mark and test PSNR 38.6285 @1k vs the
+# ctrl's 38.6285 (identical to 4 decimals); extended confirmation at the
+# 7k milestone in artifacts/qproxy_blurhigh7k (vs qproxy_sat30's 32.82).
+_BLUR_PREC_NAME = _os.environ.get("GSPLAT_BLUR_PREC", "high")
+if _BLUR_PREC_NAME not in ("highest", "high"):
+    raise ValueError(
+        f"GSPLAT_BLUR_PREC must be 'highest' or 'high', got {_BLUR_PREC_NAME!r}")
+_BLUR_PREC = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+}[_BLUR_PREC_NAME]
 
 
 def _band_matrix(n: int, window: jnp.ndarray) -> jnp.ndarray:
@@ -65,9 +89,8 @@ def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     VJP is again a matmul — no slice chains in the backward. A C=3-minor
     depthwise lax.conv was measured earlier and rejected (3/128 lane
     utilization, ~1.7 ms per pass). Semantics are identical to conv with
-    zero 'SAME' padding (upstream pytorch-ssim); HIGHEST precision keeps the
-    f32 input-error class (the Gaussian weights are not bf16-exact, so the
-    one-sided split trick does not apply).
+    zero 'SAME' padding (upstream pytorch-ssim); MXU pass count is set by
+    GSPLAT_BLUR_PREC (see the module-level lever note).
 
     GSPLAT_BLUR=slices restores the shifted-add form (frozen at import)."""
     if _BLUR_MODE == "slices":
@@ -85,13 +108,13 @@ def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     out = jax.lax.dot_general(
         bh, img.reshape(h, -1), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_BLUR_PREC,
     ).reshape(img.shape)
     # cols: contract W; batch nothing, output (H, C, W) -> transpose back
     out = jax.lax.dot_general(
         out, bw, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_BLUR_PREC,
     )  # (H, C, W)
     return jnp.transpose(out, (0, 2, 1))
 

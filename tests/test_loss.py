@@ -64,3 +64,45 @@ def test_photometric_loss_composition():
     want = (1 - lam) * float(l1_loss(a, b)) + lam * (1.0 - float(ssim(a, b)))
     assert float(photometric_loss(a, b, lam)) == pytest.approx(want, rel=1e-6)
     assert float(psnr(a, a)) > 100.0
+
+
+def test_blur_prec_lever_subprocess():
+    """GSPLAT_BLUR_PREC wiring: 'high' imports and computes the same SSIM as
+    the default on CPU (precision flags are MXU pass counts — no-ops off-TPU,
+    so this validates the lever plumbing, not the numerics, which are A/B'd
+    plus quality-gated on hardware — BASELINE.md round 5); a bad value must
+    fail loudly at import."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.path.insert(0, %r);"
+        "import numpy as np;"
+        "from gsplat_tpu.train.loss import ssim, _BLUR_PREC;"
+        "assert _BLUR_PREC == jax.lax.Precision.HIGH, _BLUR_PREC;"
+        "rng = np.random.default_rng(0);"
+        "a = rng.uniform(0, 1, (32, 48, 3)).astype(np.float32);"
+        "b = rng.uniform(0, 1, (32, 48, 3)).astype(np.float32);"
+        "print('SSIM', float(ssim(a, b)))"
+    ) % str(repo)
+    env = dict(os.environ, GSPLAT_BLUR_PREC="high", JAX_PLATFORMS="cpu")
+    p = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=600,
+                       cwd=str(repo))
+    assert p.returncode == 0 and "SSIM" in p.stdout, (
+        p.stdout[-2000:], p.stderr[-3000:])
+    got = float(p.stdout.split("SSIM", 1)[1])
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (32, 48, 3)).astype(np.float32)
+    b = rng.uniform(0, 1, (32, 48, 3)).astype(np.float32)
+    assert got == pytest.approx(float(ssim(a, b)), abs=1e-6)
+
+    env["GSPLAT_BLUR_PREC"] = "bogus"
+    p = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=600,
+                       cwd=str(repo))
+    assert p.returncode != 0 and "GSPLAT_BLUR_PREC" in p.stderr
