@@ -40,21 +40,22 @@ import os as _os
 _BLUR_MODE = _os.environ.get("GSPLAT_BLUR", "matmul")
 # GSPLAT_BLUR_PREC selects the MXU pass count of the banded blur matmuls
 # (frozen at import, like every kernel lever — jit caches do not key on env):
-#   high    — f32 via 3 bf16 passes (~2^-16 class; XLA's F32_AS_BF16_3X) —
-#             the round-5 default
-#   highest — f32 via 6 bf16 passes (~2^-24 class) — the pre-r5 form.
-# The one-sided split trick from raster_pallas does not apply (neither the
-# Gaussian band matrix nor the image is bf16-exact), but 3-pass HIGH lands in
-# the same input-error class as the quality-gated DG_COMP gradient
-# accumulations (~2^-17), and the SSIM terms feed only the loss scalar —
-# forward image VALUES (the pack gate's failure mode) are untouched.
-# A/B on the v5e sparse bench step (round 5): 171.6 -> 165.1 ms synced,
-# 149.1 -> 142.9 pipelined. Quality gate: artifacts/qproxy_blurhigh (1k
-# control, this lever only) — loss trajectory inside qproxy_ctrl's own
-# rerun scatter at every 100-step mark and test PSNR 38.6285 @1k vs the
-# ctrl's 38.6285 (identical to 4 decimals); extended confirmation at the
-# 7k milestone in artifacts/qproxy_blurhigh7k (vs qproxy_sat30's 32.82).
-_BLUR_PREC_NAME = _os.environ.get("GSPLAT_BLUR_PREC", "high")
+#   highest — f32 via 6 bf16 passes (~2^-24 input error class) — the default
+#   high    — f32 via 3 bf16 passes (~2^-16; XLA's F32_AS_BF16_3X) — a
+#             measured but NOT fully quality-gated perf lever, opt-in.
+# 'high' halves the loss block's MXU passes: sparse bench step 171.6 ->
+# 165.1 ms synced / 149.1 -> 142.9 pipelined (v5e A/B, round 5). It is
+# gradient-side only (SSIM feeds the loss scalar, never the rendered image),
+# and its 1k isolation gate PASSED exactly (artifacts/qproxy_blurhigh: test
+# PSNR 38.6285 @1k — identical to the HIGHEST control's 4 decimals). But the
+# deterministic 7k pair (artifacts/qproxy_blurhigh7k vs qproxy_blurctrl7k,
+# same scene/session, only this lever changed) measured a -0.34 dB test-PSNR
+# snapshot delta at 7k (32.48 vs 32.82; train PSNR matched, 35.00 vs 35.06)
+# — larger than the <= 0.12 dB milestone deltas of previously-accepted
+# precision flips — and the full 30k gate the repo requires for default
+# flips (BASELINE.md round-4 pack lesson) has not been run. Default stays
+# HIGHEST until a 30k run at 'high' lands within noise.
+_BLUR_PREC_NAME = _os.environ.get("GSPLAT_BLUR_PREC", "highest")
 if _BLUR_PREC_NAME not in ("highest", "high"):
     raise ValueError(
         f"GSPLAT_BLUR_PREC must be 'highest' or 'high', got {_BLUR_PREC_NAME!r}")

@@ -70,7 +70,7 @@ def test_blur_prec_lever_subprocess():
     """GSPLAT_BLUR_PREC wiring: 'high' imports and computes the same SSIM as
     the default on CPU (precision flags are MXU pass counts — no-ops off-TPU,
     so this validates the lever plumbing, not the numerics, which are A/B'd
-    plus quality-gated on hardware — BASELINE.md round 5); a bad value must
+    and gated on hardware — BASELINE.md round 5); a bad value must
     fail loudly at import."""
     import os
     import subprocess
